@@ -1,0 +1,25 @@
+from .gnngraph import GnnGraph, empty_graph
+from .builders import (
+    rand_graph,
+    complete_digraph,
+    radius_graph,
+    knn_graph,
+    delaunay_graph,
+    grid_graph_1d,
+    grid_graph_2d,
+)
+from .transforms import (
+    add_self_loops,
+    degree,
+    sort_by_receiver,
+    csr_offsets,
+    to_dense_adjacency,
+)
+from .batch import batch, unbatch
+
+__all__ = [
+    "GnnGraph", "empty_graph", "rand_graph", "complete_digraph",
+    "radius_graph", "knn_graph", "delaunay_graph", "grid_graph_1d",
+    "grid_graph_2d", "add_self_loops", "degree", "sort_by_receiver",
+    "csr_offsets", "to_dense_adjacency", "batch", "unbatch",
+]

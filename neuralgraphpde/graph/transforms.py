@@ -1,0 +1,129 @@
+"""Structural graph transforms: self-loops, degree, CSR, receiver-sort.
+
+Equivalents of the reference's reexported GraphNeuralNetworks.jl utilities
+consumed at reference src/layers.jl:211 (``add_self_loops``) and :224
+(``degree``), plus CSR metadata for the Pallas kernels (no reference
+equivalent — the reference's scatter kernels are NNlibCUDA's).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gnngraph import GnnGraph
+
+
+def add_self_loops(g: GnnGraph) -> GnnGraph:
+    """Append one ``i -> i`` edge per node (reference src/layers.jl:211).
+
+    New edges go at the end, matching the reference's COO behavior (its
+    edge-weight padding appends ones at the end, src/layers.jl:215). Edge
+    features are dropped, as in GraphNeuralNetworks.jl's ``add_self_loops``.
+    """
+    n = g.num_nodes
+    loop = jnp.arange(n, dtype=jnp.int32)
+    senders = jnp.concatenate([g.senders, loop])
+    receivers = jnp.concatenate([g.receivers, loop])
+    return GnnGraph(
+        senders=senders,
+        receivers=receivers,
+        ndata=g.ndata,
+        edata={},
+        gdata=g.gdata,
+        graph_indicator=g.graph_indicator,
+        num_nodes=n,
+        num_edges=g.num_edges + n,
+        num_graphs=g.num_graphs,
+        receivers_sorted=False,
+    )
+
+
+def degree(
+    g: GnnGraph,
+    dtype=jnp.float32,
+    *,
+    direction: str = "in",
+    edge_weight: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(Weighted) degree vector, shape ``(num_nodes,)``.
+
+    ``direction='in'`` counts edges by receiver (the reference's
+    ``degree(g, T; dir=:in, edge_weight)``, src/layers.jl:224). If
+    ``edge_weight`` is given the degree is the sum of incident weights.
+    """
+    idx = g.receivers if direction == "in" else g.senders
+    if edge_weight is None:
+        weights = jnp.ones((g.num_edges,), dtype=dtype)
+    else:
+        weights = edge_weight.astype(dtype)
+    return jax.ops.segment_sum(
+        weights, idx, num_segments=g.num_nodes,
+        indices_are_sorted=g.receivers_sorted and direction == "in",
+    )
+
+
+def sort_by_receiver(g: GnnGraph) -> GnnGraph:
+    """Canonicalize edge order to non-decreasing receiver (CSR-ready).
+
+    Edge features are permuted consistently. Segment reductions over sorted
+    receivers let XLA/Pallas use the fast sorted path.
+    """
+    if g.receivers_sorted or g.num_edges == 0:
+        return g
+    perm = jnp.argsort(g.receivers, stable=True)
+    return GnnGraph(
+        senders=g.senders[perm],
+        receivers=g.receivers[perm],
+        ndata=g.ndata,
+        edata={k: v[perm] for k, v in g.edata.items()},
+        gdata=g.gdata,
+        graph_indicator=g.graph_indicator,
+        num_nodes=g.num_nodes,
+        num_edges=g.num_edges,
+        num_graphs=g.num_graphs,
+        receivers_sorted=True,
+    )
+
+
+def csr_offsets(g: GnnGraph) -> jax.Array:
+    """Row offsets (num_nodes + 1,) for a receiver-sorted graph.
+
+    ``offsets[i]:offsets[i+1]`` is the contiguous edge range whose receiver is
+    node ``i``. Requires ``g.receivers_sorted``.
+    """
+    if not g.receivers_sorted:
+        raise ValueError("csr_offsets requires a receiver-sorted graph; "
+                         "call sort_by_receiver(g) first")
+    counts = jax.ops.segment_sum(
+        jnp.ones((g.num_edges,), jnp.int32), g.receivers,
+        num_segments=g.num_nodes, indices_are_sorted=True,
+    )
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(counts).astype(jnp.int32)])
+
+
+def to_dense_adjacency(
+    g: GnnGraph,
+    *,
+    edge_weight: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Dense adjacency ``A[r, s] = sum of weights of edges s -> r``.
+
+    ``A @ X`` then equals receiver-aggregated sum of sender features — the
+    MXU-friendly SpMM path for small/medium graphs (cf. PAPERS.md "Fast
+    Training of Sparse GNNs on Dense Hardware").
+    """
+    n = g.num_nodes
+    w = (jnp.ones((g.num_edges,), dtype) if edge_weight is None
+         else edge_weight.astype(dtype))
+    flat = g.receivers.astype(jnp.int32) * n + g.senders.astype(jnp.int32)
+    dense = jax.ops.segment_sum(w, flat, num_segments=n * n)
+    return dense.reshape(n, n)
+
+
+def edges_numpy(g: GnnGraph) -> Tuple[np.ndarray, np.ndarray]:
+    return np.asarray(g.senders), np.asarray(g.receivers)

@@ -1,0 +1,371 @@
+"""The GNN layer zoo: the reference's six convolution layers, TPU-native.
+
+Each layer reproduces the math and feature-concat ordering of its reference
+counterpart in src/layers.jl (citations per class) with row-major
+``(entities, features)`` tensors: all edge work is one batched MLP over the
+edge dimension (MXU GEMMs of size ``num_edges × hidden``) plus a segment
+reduction — the two hot loops SURVEY §3.2 identifies.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.gnngraph import GnnGraph
+from ..graph.builders import complete_digraph
+from ..graph.transforms import add_self_loops as _add_self_loops
+from ..graph.transforms import degree as _degree
+from ..ops.message_passing import copy_xj, e_mul_xj, propagate, w_mul_xj
+from ..utils.state import drop, wrapgraph
+from .basic import (
+    Dense,
+    glorot_normal,
+    glorot_uniform,
+    resolve_activation,
+    zeros_init,
+)
+from .core import Layer
+from .gnn import INPUT_KEY, AbstractGNNContainerLayer, AbstractGNNLayer, wrap_input
+
+Aggr = Union[str, Callable]
+
+
+def _cat(arrays, width_hint=None):
+    """Feature-axis concat; ``arrays`` may be empty (yields width-0)."""
+    arrays = list(arrays)
+    if not arrays:
+        return width_hint
+    return jnp.concatenate(arrays, axis=-1)
+
+
+def _values_cat(d, like, count):
+    """Concat dict values in iteration order; empty dict -> (count, 0) array
+    (the reference's ``reduce(vcat, ...; init=similar(x, 0, n))`` trick,
+    src/layers.jl:397,400)."""
+    vals = list(d.values())
+    if not vals:
+        return jnp.zeros((count, 0), like.dtype)
+    return jnp.concatenate(vals, axis=-1)
+
+
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True, eq=False)
+class ExplicitEdgeConv(AbstractGNNContainerLayer):
+    """Edge convolution ``h_i' = aggr_{j∈N(i)} ϕ([h_i; h_j; x_j − x_i])``.
+
+    Rebuild of reference ``ExplicitEdgeConv`` (src/layers.jl:36-112): spatial
+    coordinates come from ``st['graph'].ndata['x']``; any other ndata keys are
+    concatenated alongside the input features; the message concat order is
+    ``[h_i…, h_j…, x_j − x_i]`` (src/layers.jl:106).
+    """
+
+    phi: Layer
+    initialgraph: Callable = None
+    aggr: Aggr = "mean"
+    layer_names: Tuple[str, ...] = ("phi",)
+
+    def __post_init__(self):
+        object.__setattr__(self, "initialgraph", wrapgraph(self.initialgraph))
+
+    def __call__(self, x, ps, st):
+        x = wrap_input(x)
+        g: GnnGraph = st["graph"]
+        xs = {**x, **g.ndata}  # ndata overrides on key collision (Julia merge)
+        st_cell = {"phi": st["phi"]}
+
+        def message(xi, xj, e):
+            posi, posj = xi["x"], xj["x"]
+            hi, hj = drop(xi, "x"), drop(xj, "x")
+            feats = jnp.concatenate(
+                [*hi.values(), *hj.values(), posj - posi], axis=-1)
+            m, st_cell["phi"] = self.phi(feats, ps, st_cell["phi"])
+            return m
+
+        y = propagate(message, g, self.aggr, xi=xs, xj=xs)
+        return y, {**st, "phi": st_cell["phi"]}
+
+
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True, eq=False)
+class GCNConv(AbstractGNNLayer):
+    """Degree-normalized graph convolution ``σ(W(D^{-1/2} Ã D^{-1/2} x) + b)``
+    with explicit params — rebuild of reference ``GCNConv``
+    (src/layers.jl:114-239) including: optional bias / self-loops / stored or
+    runtime edge weights, and the multiply-before-aggregate optimization when
+    ``out_chs < in_chs`` (src/layers.jl:219-223).
+
+    The aggregation is the SpMM fast path; attach acceleration structure with
+    ``ops.precompute`` (dense adjacency / CSR) to the *self-looped* graph to
+    keep the hot loop off the scatter path.
+    """
+
+    in_chs: int
+    out_chs: int
+    activation: Union[None, str, Callable] = None
+    initialgraph: Callable = None
+    init_weight: Callable = glorot_uniform
+    init_bias: Callable = zeros_init
+    use_bias: bool = True
+    add_self_loops: bool = True
+    use_edge_weight: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "initialgraph", wrapgraph(self.initialgraph))
+
+    def initialparameters(self, rng):
+        wk, bk = jax.random.split(rng)
+        ps = {"weight": self.init_weight(wk, (self.in_chs, self.out_chs))}
+        if self.use_bias:
+            ps["bias"] = self.init_bias(bk, (1, self.out_chs))
+        return ps
+
+    def parameterlength(self):
+        return self.out_chs * (self.in_chs + (1 if self.use_bias else 0))
+
+    def __call__(self, x, ps, st, edge_weight: Optional[jax.Array] = None):
+        g: GnnGraph = st["graph"]
+        if edge_weight is not None and edge_weight.shape[0] != g.num_edges:
+            raise ValueError(
+                f"wrong number of edge weights (expected {g.num_edges}, "
+                f"got {edge_weight.shape[0]})")
+
+        if self.add_self_loops:
+            g = _add_self_loops(g)
+            if edge_weight is not None:
+                # Pad new self-loop edges with unit weight (reference
+                # src/layers.jl:213-216).
+                edge_weight = jnp.concatenate(
+                    [edge_weight, jnp.ones((g.num_nodes,), edge_weight.dtype)])
+
+        if self.out_chs < self.in_chs:
+            x = jnp.dot(x, ps["weight"], preferred_element_type=x.dtype)
+
+        if edge_weight is not None:
+            dw = edge_weight
+        elif self.use_edge_weight:
+            dw = g.edata["e"].reshape(-1)
+        else:
+            dw = None
+        d = _degree(g, x.dtype, direction="in", edge_weight=dw)
+        # NB: not lax.rsqrt — XLA:CPU lowers that to the approximate rsqrt
+        # instruction, which breaks allclose parity.
+        c = jnp.where(d > 0, 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30)), 0.0)
+        x = x * c[:, None]
+        if edge_weight is not None:
+            x = propagate(e_mul_xj, g, "sum", xj=x, e=edge_weight)
+        elif self.use_edge_weight:
+            x = propagate(w_mul_xj, g, "sum", xj=x)
+        else:
+            x = propagate(copy_xj, g, "sum", xj=x)
+        x = x * c[:, None]
+        if self.out_chs >= self.in_chs:
+            x = jnp.dot(x, ps["weight"], preferred_element_type=x.dtype)
+        if self.use_bias:
+            x = x + ps["bias"]
+        return resolve_activation(self.activation)(x), st
+
+
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True, eq=False)
+class VMHConv(AbstractGNNContainerLayer):
+    """Iakovlev et al. (arXiv:2006.08956) convolution — rebuild of reference
+    ``VMHConv`` (src/layers.jl:241-332):
+
+    ``m_i = aggr_j ϕ(h_i, h_j − h_i, x_j − x_i)``; ``h_i' = γ(h_i, m_i)``.
+
+    Unlike ExplicitEdgeConv, ϕ sees per-key *differences* ``h_j − h_i``
+    (src/layers.jl:316), and γ concatenates only the original input with the
+    aggregated message (src/layers.jl:328).
+    """
+
+    phi: Layer
+    gamma: Layer
+    initialgraph: Callable = None
+    aggr: Aggr = "mean"
+    layer_names: Tuple[str, ...] = ("phi", "gamma")
+
+    def __post_init__(self):
+        object.__setattr__(self, "initialgraph", wrapgraph(self.initialgraph))
+
+    def __call__(self, x, ps, st):
+        x = wrap_input(x)
+        g: GnnGraph = st["graph"]
+        xs = {**x, **g.ndata}
+        st_cell = {"phi": st["phi"]}
+
+        def message(xi, xj, e):
+            posi, posj = xi["x"], xj["x"]
+            hi, hj = drop(xi, "x"), drop(xj, "x")
+            feats = jnp.concatenate(
+                [*hi.values(),
+                 *(hj[k] - hi[k] for k in hi),
+                 posj - posi], axis=-1)
+            m, st_cell["phi"] = self.phi(feats, ps["phi"], st_cell["phi"])
+            return m
+
+        m = propagate(message, g, self.aggr, xi=xs, xj=xs)
+        y, st_gamma = self.gamma(
+            jnp.concatenate([*x.values(), m], axis=-1), ps["gamma"], st["gamma"])
+        return y, {**st, "phi": st_cell["phi"], "gamma": st_gamma}
+
+
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True, eq=False)
+class MPPDEConv(AbstractGNNContainerLayer):
+    """Brandstetter et al. (arXiv:2202.03376) message-passing PDE layer —
+    rebuild of reference ``MPPDEConv`` (src/layers.jl:334-422), without
+    temporal bundling (which lives in the MP-PDE model, not the layer):
+
+    ``m_i = aggr_j ϕ(h_i, h_j, u_i − u_j, x_i − x_j, θ)``;
+    ``h_i' = ψ(h_i, m_i, θ)``.
+
+    PDE parameters θ live in ``g.gdata`` (concatenated with stop_gradient,
+    src/layers.jl:397) and are broadcast per-edge/per-node with
+    equal-blocks-per-graph semantics (``repeat inner``, src/layers.jl:410,418)
+    — hence batched graphs must share one structure (docs/src/index.md:66).
+    ``u``/``x`` may come from ndata (differences computed in the message) or
+    pre-computed differences in edata (src/layers.jl:404-409).
+    """
+
+    phi: Layer
+    psi: Layer
+    initialgraph: Callable = None
+    aggr: Aggr = "mean"
+    layer_names: Tuple[str, ...] = ("phi", "psi")
+
+    def __post_init__(self):
+        object.__setattr__(self, "initialgraph", wrapgraph(self.initialgraph))
+
+    def __call__(self, x, ps, st):
+        g: GnnGraph = st["graph"]
+        N, E, G = g.num_nodes, g.num_edges, g.num_graphs
+        s, e = g.ndata, g.edata
+        theta = jax.lax.stop_gradient(_values_cat(g.gdata, x, G))
+        st_cell = {"phi": st["phi"]}
+        theta_e = jnp.repeat(theta, E // G, axis=0)  # (E, Fθ)
+        theta_n = jnp.repeat(theta, N // G, axis=0)  # (N, Fθ)
+
+        def message(xi, xj, e_feat):
+            di = _values_cat({k: xi[k] for k in s}, x, E)
+            dj = _values_cat({k: xj[k] for k in s}, x, E)
+            e_cat = _values_cat(e_feat or {}, x, E)
+            hi, hj = xi[INPUT_KEY], xj[INPUT_KEY]
+            feats = jnp.concatenate([hi, hj, di - dj, e_cat, theta_e], axis=-1)
+            m, st_cell["phi"] = self.phi(feats, ps["phi"], st_cell["phi"])
+            return m
+
+        xs = {INPUT_KEY: x, **s}
+        m = propagate(message, g, self.aggr, xi=xs, xj=xs, e=e)
+        y, st_psi = self.psi(
+            jnp.concatenate([x, m, theta_n], axis=-1), ps["psi"], st["psi"])
+        return y, {**st, "phi": st_cell["phi"], "psi": st_psi}
+
+
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True, eq=False)
+class GNOConv(AbstractGNNContainerLayer):
+    """Graph kernel network layer (Li et al., arXiv:2003.03485) — rebuild of
+    reference ``GNOConv`` (src/layers.jl:424-547):
+
+    ``m_i = aggr_j ϕ(a_i, a_j, x_i, x_j) · h_j``;
+    ``h_i' = σ(W h_i + m_i + b)``.
+
+    ϕ emits a flattened ``in_chs × out_chs`` kernel matrix per edge; the
+    per-edge mat-vec is one ``einsum('eio,ei->eo')`` batched contraction (the
+    reference's ``NNlib.batched_mul``, src/layers.jl:529). Edge inputs to ϕ
+    are the concat of gathered ndata pairs plus edata; with empty ndata the
+    layer runs in pure-edata mode (reference test/runtests.jl:145-150).
+    """
+
+    in_chs: int
+    out_chs: int
+    phi: Layer
+    activation: Union[None, str, Callable] = None
+    initialgraph: Callable = None
+    aggr: Aggr = "mean"
+    use_bias: bool = True
+    init_weight: Callable = glorot_uniform
+    init_bias: Callable = zeros_init
+    layer_names: Tuple[str, ...] = ("linear", "phi")
+
+    def __post_init__(self):
+        object.__setattr__(self, "initialgraph", wrapgraph(self.initialgraph))
+        object.__setattr__(
+            self, "linear",
+            Dense(self.in_chs, self.out_chs, None, use_bias=self.use_bias,
+                  init_weight=self.init_weight, init_bias=self.init_bias))
+
+    def _children(self):
+        return {"linear": self.linear, "phi": self.phi}
+
+    def __call__(self, x, ps, st):
+        g: GnnGraph = st["graph"]
+        E = g.num_edges
+        s = g.ndata
+        st_cell = {"phi": st["phi"]}
+
+        def message(xi, xj, e_feat):
+            si = _values_cat({k: xi[k] for k in s}, x, E)
+            sj = _values_cat({k: xj[k] for k in s}, x, E)
+            e_cat = _values_cat(e_feat or {}, x, E)
+            w, st_cell["phi"] = self.phi(
+                jnp.concatenate([si, sj, e_cat], axis=-1), ps["phi"],
+                st_cell["phi"])
+            hj = xj["_h"]
+            # Row-major layout matching the reference's column-major
+            # reshape(W, out, in, E): w[e, i*out + o] == W_julia[o, i, e].
+            w = w.reshape(E, self.in_chs, self.out_chs)
+            return jnp.einsum("eio,ei->eo", w, hj)
+
+        xs = {"_h": x, **s}
+        m = propagate(message, g, self.aggr, xi=xs, xj=xs, e=g.edata)
+
+        y = jnp.dot(x, ps["linear"]["weight"], preferred_element_type=x.dtype) + m
+        if self.use_bias:
+            y = y + ps["linear"]["bias"]
+        return resolve_activation(self.activation)(y), {
+            **st, "phi": st_cell["phi"]}
+
+
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True, eq=False)
+class SpectralConv(AbstractGNNLayer):
+    """Fourier differentiation of a 1-D periodic function cast as message
+    passing on a complete digraph — rebuild of reference ``SpectralConv``
+    (src/layers.jl:549-662):
+
+    ``u_i' = 1/2 Σ_j cos((x_i − x_j) n / 2) · cot((x_i − x_j)/2) · u_j``
+
+    ``initialstates`` builds the complete digraph with ``edata['e'] = x_t − x_s``
+    (src/layers.jl:639-648); zero parameters.
+    """
+
+    n: int
+
+    def initialstates(self, rng):
+        g = complete_digraph(self.n)
+        x = jnp.linspace(0.0, 2.0 * jnp.pi, self.n + 1)[1:]
+        diff = x[g.receivers] - x[g.senders]
+        g = g.replace(edata={"e": diff.reshape(-1, 1)})
+        return {"graph": g}
+
+    def initialparameters(self, rng):
+        return {}
+
+    def __call__(self, x, ps, st):
+        vector_in = x.ndim == 1
+        if vector_in:
+            x = x.reshape(-1, 1)
+        g: GnnGraph = st["graph"]
+        e = g.edata["e"]
+
+        def message(xi, xj, e_feat):
+            coef = (jnp.cos(e_feat * self.n / 2)
+                    * (jnp.cos(e_feat / 2) / jnp.sin(e_feat / 2)) / 2)
+            return coef * xj
+
+        y = propagate(message, g, "sum", xj=x, e=e.astype(x.dtype))
+        return (y.reshape(-1) if vector_in else y), st

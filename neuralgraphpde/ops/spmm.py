@@ -1,0 +1,119 @@
+"""SpMM dispatch: receiver-aggregated sum of sender features.
+
+Computes ``out[i] = Σ_{edges j->i} w_e · x[j]`` — the fixed-message sum
+aggregation behind the reference's ``propagate(copy_xj/e_mul_xj/w_mul_xj, g, +)``
+(GCNConv hot path, reference src/layers.jl:227-233). Three implementations:
+
+- ``xla``    — gather + scatter-add (``segment_sum``); always available.
+- ``dense``  — precomputed dense adjacency ``A @ X`` on the MXU; the fastest
+               path for small/medium graphs where A fits comfortably in HBM
+               (one-hot-matmul trick; PAPERS.md "Fast Training of Sparse GNNs
+               on Dense Hardware").
+- ``pallas`` — CSR segment-sum kernel (``neuralgraphpde.kernels``) for large
+               graphs.
+
+``precompute(g, ...)`` attaches the structure the fast paths need to
+``g.cache`` once per graph, so nothing is rebuilt inside the ODE solver loop.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.gnngraph import GnnGraph
+from ..graph.transforms import csr_offsets, sort_by_receiver, to_dense_adjacency
+
+# Global default mode; 'auto' picks dense if cached, else pallas if cached,
+# else xla.
+_SPMM_MODE = "auto"
+
+
+def set_spmm_mode(mode: str) -> None:
+    global _SPMM_MODE
+    if mode not in ("auto", "xla", "dense", "pallas"):
+        raise ValueError(f"unknown spmm mode {mode!r}")
+    _SPMM_MODE = mode
+
+
+def get_spmm_mode() -> str:
+    return _SPMM_MODE
+
+
+def precompute(
+    g: GnnGraph,
+    *,
+    dense: Optional[bool] = None,
+    csr: bool = True,
+    dense_threshold_nodes: int = 8192,
+    adj_dtype=jnp.float32,
+) -> GnnGraph:
+    """Attach SpMM acceleration structure to ``g.cache``.
+
+    - ``adj``: dense unweighted adjacency (receiver-major), used by the dense
+      path when no runtime edge weights are supplied.
+    - ``csr_offsets``: row offsets for the Pallas kernel (requires sorting
+      edges by receiver, which this performs).
+    """
+    if dense is None:
+        dense = g.num_nodes <= dense_threshold_nodes
+    if csr and not g.receivers_sorted:
+        g = sort_by_receiver(g)
+    cache = dict(g.cache)
+    if dense:
+        cache["adj"] = to_dense_adjacency(g, dtype=adj_dtype)
+    if csr:
+        cache["csr_offsets"] = csr_offsets(g)
+    return g.copy(cache=cache)
+
+
+def spmm_xla(g: GnnGraph, x: jax.Array,
+             edge_weight: Optional[jax.Array] = None) -> jax.Array:
+    xj = jnp.take(x, g.senders, axis=0)
+    if edge_weight is not None:
+        xj = xj * edge_weight.reshape((-1,) + (1,) * (x.ndim - 1))
+    return jax.ops.segment_sum(
+        xj, g.receivers, num_segments=g.num_nodes,
+        indices_are_sorted=g.receivers_sorted,
+    )
+
+
+def spmm_dense(g: GnnGraph, x: jax.Array) -> jax.Array:
+    adj = g.cache["adj"]
+    return jnp.dot(adj, x.astype(adj.dtype),
+                   preferred_element_type=x.dtype).astype(x.dtype)
+
+
+def spmm_pallas(g: GnnGraph, x: jax.Array,
+                edge_weight: Optional[jax.Array] = None) -> jax.Array:
+    from ..kernels.segment_kernels import csr_spmm
+
+    return csr_spmm(
+        g.cache["csr_offsets"], g.senders, x,
+        num_nodes=g.num_nodes, edge_weight=edge_weight,
+    )
+
+
+def spmm(g: GnnGraph, x: jax.Array,
+         edge_weight: Optional[jax.Array] = None) -> jax.Array:
+    """Receiver-sum of (optionally weighted) sender features, dispatching per
+    ``set_spmm_mode`` and the structure cached on ``g``."""
+    mode = _SPMM_MODE
+    if mode == "auto":
+        if "adj" in g.cache and edge_weight is None:
+            mode = "dense"
+        elif "csr_offsets" in g.cache and x.ndim == 2:
+            mode = "pallas"
+        else:
+            mode = "xla"
+    if mode == "dense":
+        if edge_weight is not None or "adj" not in g.cache:
+            mode = "xla"  # weighted/no-cache falls back
+    if mode == "pallas" and ("csr_offsets" not in g.cache or x.ndim != 2):
+        mode = "xla"
+    if mode == "dense":
+        return spmm_dense(g, x)
+    if mode == "pallas":
+        return spmm_pallas(g, x, edge_weight)
+    return spmm_xla(g, x, edge_weight)

@@ -1,0 +1,164 @@
+"""Graph container / transform tests (reference test/runtests.jl fixture:
+s=[1,1,2,3], t=[2,3,1,1] — 3 nodes, 4 edges; 0-based here)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralgraphpde import (
+    GnnGraph, add_self_loops, batch, complete_digraph, csr_offsets, degree,
+    empty_graph, grid_graph_1d, grid_graph_2d, rand_graph, sort_by_receiver,
+    to_dense_adjacency, unbatch,
+)
+
+S = [0, 0, 1, 2]
+T = [1, 2, 0, 0]
+
+
+def tiny():
+    return GnnGraph.from_coo(S, T)
+
+
+def test_from_coo_counts():
+    g = tiny()
+    assert g.num_nodes == 3
+    assert g.num_edges == 4
+    assert g.num_graphs == 1
+
+
+def test_feature_normalization():
+    g = GnnGraph.from_coo(S, T, ndata=np.random.randn(3, 5))
+    assert set(g.ndata) == {"x"}
+    assert g.ndata["x"].shape == (3, 5)
+    g = GnnGraph.from_coo(S, T, edata=np.random.randn(4, 2))
+    assert g.edata["e"].shape == (4, 2)
+    # gdata vector for a single graph becomes one feature row
+    g = GnnGraph.from_coo(S, T, gdata={"theta": np.random.randn(4)})
+    assert g.gdata["theta"].shape == (1, 4)
+
+
+def test_feature_shape_validation():
+    with pytest.raises(ValueError):
+        GnnGraph.from_coo(S, T, ndata=np.random.randn(5, 3))
+
+
+def test_replace_preserves_structure():
+    g = tiny()
+    x = np.random.randn(3, 7)
+    g2 = g.replace(ndata={"x": x})
+    assert g2.num_edges == 4
+    assert np.array_equal(np.asarray(g2.senders), np.asarray(g.senders))
+    assert g2.ndata["x"] is x  # identity preserved for exact-layout arrays
+
+
+def test_equality():
+    assert tiny() == tiny()
+    assert tiny() != rand_graph(3, 4, seed=0)
+    g = tiny()
+    assert g.copy() == g
+
+
+def test_pytree_roundtrip():
+    g = GnnGraph.from_coo(S, T, ndata={"x": np.random.randn(3, 2)})
+    leaves, treedef = jax.tree_util.tree_flatten(g)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert g2 == g
+    assert g2.num_nodes == 3
+
+    @jax.jit
+    def through(graph):
+        return graph
+
+    g3 = through(g)
+    assert g3.num_nodes == 3
+    assert np.allclose(np.asarray(g3.ndata["x"]), np.asarray(g.ndata["x"]))
+
+
+def test_add_self_loops():
+    g = add_self_loops(tiny())
+    assert g.num_edges == 7
+    s, t = np.asarray(g.senders), np.asarray(g.receivers)
+    assert list(s[-3:]) == [0, 1, 2]
+    assert list(t[-3:]) == [0, 1, 2]
+
+
+def test_degree():
+    g = tiny()
+    d_in = np.asarray(degree(g))
+    assert list(d_in) == [2, 1, 1]
+    d_out = np.asarray(degree(g, direction="out"))
+    assert list(d_out) == [2, 1, 1]
+    w = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    dw = np.asarray(degree(g, edge_weight=w))
+    assert np.allclose(dw, [7.0, 1.0, 2.0])
+
+
+def test_sort_and_csr():
+    g = sort_by_receiver(tiny())
+    r = np.asarray(g.receivers)
+    assert all(r[1:] >= r[:-1])
+    off = np.asarray(csr_offsets(g))
+    assert list(off) == [0, 2, 3, 4]
+
+
+def test_dense_adjacency():
+    g = tiny()
+    a = np.asarray(to_dense_adjacency(g))
+    expected = np.zeros((3, 3))
+    for s, t in zip(S, T):
+        expected[t, s] += 1
+    assert np.allclose(a, expected)
+
+
+def test_complete_digraph():
+    g = complete_digraph(4)
+    assert g.num_edges == 12
+    s, t = np.asarray(g.senders), np.asarray(g.receivers)
+    assert not np.any(s == t)
+
+
+def test_rand_graph_bidirected():
+    g = rand_graph(10, 20, bidirected=True, seed=1)
+    assert g.num_edges == 20
+    pairs = set(zip(np.asarray(g.senders).tolist(),
+                    np.asarray(g.receivers).tolist()))
+    for s, t in list(pairs):
+        assert (t, s) in pairs
+
+
+def test_grid_graphs():
+    g = grid_graph_1d(5, stencil=1)
+    assert g.num_edges == 8
+    g = grid_graph_1d(5, periodic=True, stencil=2)
+    assert g.num_edges == 20
+    g = grid_graph_2d(3, 3)
+    assert g.num_nodes == 9
+    assert g.num_edges == 24
+
+
+def test_batch_unbatch():
+    g = GnnGraph.from_coo(
+        S, T,
+        ndata={"u": np.random.randn(3, 2)},
+        gdata={"theta": np.random.randn(4)},
+    )
+    gb = batch([g, g.copy()])
+    assert gb.num_nodes == 6
+    assert gb.num_edges == 8
+    assert gb.num_graphs == 2
+    assert gb.gdata["theta"].shape == (2, 4)
+    assert gb.ndata["u"].shape == (6, 2)
+    assert list(np.asarray(gb.graph_indicator)) == [0, 0, 0, 1, 1, 1]
+    # second copy's indices offset by 3
+    assert list(np.asarray(gb.senders)[4:]) == [s + 3 for s in S]
+
+    parts = unbatch(gb)
+    assert len(parts) == 2
+    assert parts[0] == parts[1]
+    assert np.allclose(np.asarray(parts[0].ndata["u"]),
+                       np.asarray(g.ndata["u"]))
+
+
+def test_empty_graph():
+    g = empty_graph()
+    assert g.num_nodes == 0 and g.num_edges == 0
