@@ -1,0 +1,171 @@
+"""ODE solver tests: convergence on known solutions, adaptive accuracy,
+adjoint gradients (vs numerical and vs checkpointed scan), NeuralGraphODE."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralgraphpde import GCNConv, GnnGraph, setup
+from neuralgraphpde.ode import NeuralGraphODE, odeint, odeint_grid
+
+
+def test_grid_rk4_convergence_linear():
+    # dy/dt = -y, y(0)=1 -> y(t)=exp(-t)
+    rhs = lambda t, y, args: -y
+    ts = jnp.asarray([0.0, 1.0])
+    y0 = jnp.ones(())
+    y = odeint_grid(rhs, y0, ts, solver="rk4", steps_per_interval=20)
+    assert abs(float(y[-1]) - np.exp(-1)) < 1e-6
+
+
+def test_grid_hits_save_points():
+    rhs = lambda t, y, args: jnp.cos(t) * jnp.ones_like(y)
+    ts = jnp.linspace(0.0, 2.0, 9)
+    y = odeint_grid(rhs, jnp.zeros(()), ts, solver="rk4",
+                    steps_per_interval=4)
+    assert y.shape == (9,)
+    assert np.allclose(np.asarray(y), np.sin(np.asarray(ts)), atol=1e-6)
+
+
+@pytest.mark.parametrize("solver", ["tsit5", "dopri5"])
+def test_adaptive_accuracy(solver):
+    # stiff-ish oscillator: y'' = -omega^2 y
+    omega = 5.0
+
+    def rhs(t, y, args):
+        p, v = y
+        return (v, -(omega ** 2) * p)
+
+    ts = jnp.linspace(0.0, 2.0, 5)
+    ys = odeint(rhs, (jnp.ones(()), jnp.zeros(())), ts, solver=solver,
+                rtol=1e-7, atol=1e-9)
+    p_end = float(ys[0][-1])
+    assert abs(p_end - np.cos(omega * 2.0)) < 1e-4
+
+
+def test_adaptive_with_args_and_pytree():
+    def rhs(t, y, args):
+        a = args["rate"]
+        return {"u": -a * y["u"]}
+
+    ts = jnp.asarray([0.0, 0.5, 1.0])
+    ys = odeint(rhs, {"u": jnp.ones((3,))}, ts, {"rate": jnp.asarray(2.0)})
+    assert ys["u"].shape == (3, 3)
+    assert np.allclose(np.asarray(ys["u"][-1]), np.exp(-2.0), atol=1e-4)
+
+
+def test_backsolve_gradient_matches_analytic():
+    # y' = a*y ; y(1) = y0*exp(a); dL/da for L=y(1): y0*exp(a)
+    def rhs(t, y, args):
+        return args * y
+
+    def loss(a):
+        ys = odeint(rhs, jnp.ones(()), jnp.asarray([0.0, 1.0]), a,
+                    rtol=1e-8, atol=1e-10)
+        return ys[-1]
+
+    a = jnp.asarray(0.7)
+    g = jax.grad(loss)(a)
+    assert abs(float(g) - np.exp(0.7)) < 1e-3
+
+
+def test_backsolve_gradient_y0():
+    def rhs(t, y, args):
+        return -y
+
+    def loss(y0):
+        ys = odeint(rhs, y0, jnp.asarray([0.0, 1.0]), rtol=1e-8, atol=1e-10)
+        return jnp.sum(ys[-1] ** 2)
+
+    y0 = jnp.asarray([1.0, 2.0])
+    g = jax.grad(loss)(y0)
+    want = 2 * np.asarray([1.0, 2.0]) * np.exp(-2.0)
+    assert np.allclose(np.asarray(g), want, atol=1e-4)
+
+
+def test_grid_checkpoint_gradient():
+    def rhs(t, y, args):
+        return args * jnp.sin(y)
+
+    def loss(a):
+        ys = odeint_grid(rhs, jnp.ones(()), jnp.asarray([0.0, 1.0]), a,
+                         solver="rk4", steps_per_interval=32)
+        return ys[-1]
+
+    a = jnp.asarray(1.3)
+    g = float(jax.grad(loss)(a))
+    eps = 1e-4
+    gnum = (float(loss(a + eps)) - float(loss(a - eps))) / (2 * eps)
+    # float32 central differences carry ~1e-3 noise at this eps
+    assert abs(g - gnum) < 5e-3
+
+
+def test_adjoint_consistency_backsolve_vs_grid():
+    """Both adjoints must agree on a smooth nonlinear problem."""
+    def rhs(t, y, args):
+        w = args
+        return jnp.tanh(w @ y)
+
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(3, 3)).astype(np.float32)) * 0.5
+    y0 = jnp.asarray([0.3, -0.2, 0.1])
+    ts = jnp.asarray([0.0, 1.0])
+
+    def loss_adaptive(w):
+        return jnp.sum(odeint(rhs, y0, ts, w, rtol=1e-8, atol=1e-10)[-1] ** 2)
+
+    def loss_grid(w):
+        return jnp.sum(odeint_grid(rhs, y0, ts, w, solver="rk4",
+                                   steps_per_interval=64)[-1] ** 2)
+
+    ga = jax.grad(loss_adaptive)(w)
+    gg = jax.grad(loss_grid)(w)
+    assert np.allclose(np.asarray(ga), np.asarray(gg), atol=1e-3)
+
+
+def test_neural_graph_ode_forward_and_grad():
+    """GRAND-style: GCN as ODE RHS over a small graph (BASELINE config 1
+    shape), trained end-to-end through the solve."""
+    g = GnnGraph.from_coo([0, 0, 1, 2, 2, 3], [1, 2, 0, 0, 3, 2], num_nodes=4)
+    layer = GCNConv(4, 4, "tanh", initialgraph=g)
+    node = NeuralGraphODE(layer, tspan=(0.0, 1.0), rtol=1e-6, atol=1e-6)
+    ps, st = setup(jax.random.PRNGKey(0), node)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 4)).astype(np.float32))
+
+    ys, st2 = node(x, ps, st)
+    assert ys.shape == (2, 4, 4)
+    assert st2["model"]["graph"] == g
+
+    def loss(ps):
+        ys, _ = node(x, ps, st)
+        return jnp.sum(ys[-1] ** 2)
+
+    grads = jax.grad(loss)(ps)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # also through jit
+    lj = jax.jit(loss)(ps)
+    assert np.isfinite(float(lj))
+
+
+def test_neural_graph_ode_checkpoint_adjoint():
+    g = GnnGraph.from_coo([0, 1, 2], [1, 2, 0], num_nodes=3)
+    layer = GCNConv(2, 2, "tanh", initialgraph=g)
+    node = NeuralGraphODE(layer, tspan=(0.0, 1.0), adjoint="checkpoint",
+                          solver="rk4", steps_per_interval=16, output="last")
+    ps, st = setup(jax.random.PRNGKey(0), node)
+    x = jnp.ones((3, 2))
+    y, _ = node(x, ps, st)
+    assert y.shape == (3, 2)
+    grads = jax.grad(lambda p: jnp.sum(node(x, p, st)[0] ** 2))(ps)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(grads))
+
+
+def test_saveat_rollout():
+    g = GnnGraph.from_coo([0, 1], [1, 0], num_nodes=2)
+    layer = GCNConv(1, 1, initialgraph=g)
+    saveat = tuple(np.linspace(0, 1, 6))
+    node = NeuralGraphODE(layer, tspan=(0.0, 1.0), saveat=saveat)
+    ps, st = setup(jax.random.PRNGKey(0), node)
+    ys, _ = node(jnp.ones((2, 1)), ps, st)
+    assert ys.shape == (6, 2, 1)
