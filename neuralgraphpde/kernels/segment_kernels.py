@@ -1,0 +1,212 @@
+"""Pallas TPU kernels: sorted segment-sum / SpMM as MXU matmuls.
+
+The reference's aggregation bottoms out in NNlibCUDA scatter kernels (SURVEY
+§2.2); XLA:TPU lowers ``segment_sum`` to a scatter-add that serializes
+updates. This module replaces the hot path with a TPU-native formulation:
+
+1. Host-side, the receiver-sorted edge list is chopped into fixed-size chunks
+   that never straddle an output node-tile boundary (``build_tiled_csr``).
+2. XLA performs the sender-feature gather (batched row gather is efficient).
+3. A Pallas kernel turns each chunk's segment-sum into a one-hot matrix
+   multiply on the MXU: ``out_tile += onehot(recv_local) @ xj_chunk``,
+   revisiting the same output block across consecutive chunks of a tile (the
+   canonical matmul-K-loop accumulation pattern).
+
+Edge weights fold into the one-hot matrix for free, so ``e_mul_xj`` costs the
+same as ``copy_xj``. The transposed product gives the backward pass: a
+reverse-orientation tiling is prebuilt and ``custom_vjp`` reuses the same
+kernel.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Default tile sizes: TN output rows (MXU-aligned), TE edges per chunk.
+TN_DEFAULT = 256
+TE_DEFAULT = 512
+TF_MAX = 512
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True, eq=False)
+class TiledCSR:
+    """Chunked receiver-sorted edge layout for the Pallas segment kernel."""
+
+    senders: jax.Array  # (C, TE) int32 global sender ids (0 on padding)
+    recv_local: jax.Array  # (C, TE) int32 receiver - tile_start
+    wmask: jax.Array  # (C, TE) float32 edge weight (0 on padding)
+    chunk_tile: jax.Array  # (C,) int32 output node-tile of each chunk
+    num_tiles: int
+    tn: int
+    te: int
+    num_nodes: int  # true node count (<= num_tiles * tn)
+
+    def tree_flatten(self):
+        return ((self.senders, self.recv_local, self.wmask, self.chunk_tile),
+                (self.num_tiles, self.tn, self.te, self.num_nodes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_tiled_csr(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    edge_weight: Optional[np.ndarray] = None,
+    tn: int = TN_DEFAULT,
+    te: int = TE_DEFAULT,
+) -> TiledCSR:
+    """Host-side tiling. ``receivers`` need not be pre-sorted."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    E = senders.shape[0]
+    w = (np.ones(E, np.float32) if edge_weight is None
+         else np.asarray(edge_weight, np.float32).reshape(-1))
+
+    order = np.argsort(receivers, kind="stable")
+    s, r, w = senders[order], receivers[order], w[order]
+
+    num_tiles = max(-(-num_nodes // tn), 1)
+    tile_of_edge = r // tn
+    counts = np.bincount(tile_of_edge, minlength=num_tiles)
+
+    chunks_per_tile = np.maximum(-(-counts // te), 1)
+    C = int(chunks_per_tile.sum())
+
+    sk = np.zeros((C, te), np.int32)
+    rl = np.zeros((C, te), np.int32)
+    wm = np.zeros((C, te), np.float32)
+    ct = np.zeros((C,), np.int32)
+
+    edge_off = np.concatenate([[0], np.cumsum(counts)])
+    c = 0
+    for t in range(num_tiles):
+        lo, hi = int(edge_off[t]), int(edge_off[t + 1])
+        pos = lo
+        for _ in range(int(chunks_per_tile[t])):
+            n = min(te, hi - pos)
+            if n > 0:
+                sk[c, :n] = s[pos:pos + n]
+                rl[c, :n] = r[pos:pos + n] - t * tn
+                wm[c, :n] = w[pos:pos + n]
+            ct[c] = t
+            pos += n
+            c += 1
+
+    return TiledCSR(
+        senders=jnp.asarray(sk), recv_local=jnp.asarray(rl),
+        wmask=jnp.asarray(wm), chunk_tile=jnp.asarray(ct),
+        num_tiles=num_tiles, tn=tn, te=te, num_nodes=num_nodes,
+    )
+
+
+def _segment_kernel(chunk_tile_ref, xj_ref, recv_ref, wmask_ref, out_ref):
+    """grid = (num_feature_tiles, num_chunks); chunks iterate fastest so the
+    output block stays resident across a tile's chunks."""
+    c = pl.program_id(1)
+
+    prev_tile = chunk_tile_ref[jnp.maximum(c, 1) - 1]
+    first = (c == 0) | (chunk_tile_ref[c] != prev_tile)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tn = out_ref.shape[0]
+    te = recv_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tn, te), 0)
+    onehot = jnp.where(rows == recv_ref[0][None, :], wmask_ref[0][None, :], 0.0)
+    out_ref[:] += jnp.dot(onehot, xj_ref[0],
+                          preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tiled_segment_spmm_fwd(tcsr: TiledCSR, x: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """out (num_tiles*tn, F) = scatter-sum of weighted x[senders]."""
+    C, te = tcsr.senders.shape
+    F = x.shape[1]
+    tf = F if F <= TF_MAX else 256
+    if F % tf != 0:
+        # pad features to tile multiple
+        pad = tf - F % tf
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        Fp = F + pad
+    else:
+        Fp = F
+    n_ft = Fp // tf
+
+    xj = jnp.take(x, tcsr.senders.reshape(-1), axis=0).reshape(C, te, Fp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ft, C),
+        in_specs=[
+            pl.BlockSpec((1, te, tf), lambda f, c, ct: (c, 0, f)),
+            pl.BlockSpec((1, te), lambda f, c, ct: (c, 0)),
+            pl.BlockSpec((1, te), lambda f, c, ct: (c, 0)),
+        ],
+        out_specs=pl.BlockSpec((tcsr.tn, tf), lambda f, c, ct: (ct[c], f)),
+    )
+    out = pl.pallas_call(
+        _segment_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tcsr.num_tiles * tcsr.tn, Fp),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tcsr.chunk_tile, xj, tcsr.recv_local, tcsr.wmask)
+    out = out[:, :F] if Fp != F else out
+    return out.astype(x.dtype)
+
+
+def _zeros_like_tree(tree):
+    # integer leaves take float0 cotangents per JAX convention
+    return jax.tree_util.tree_map(
+        lambda l: np.zeros(l.shape, jax.dtypes.float0)
+        if jnp.issubdtype(l.dtype, jnp.integer) else jnp.zeros_like(l), tree)
+
+
+@jax.custom_vjp
+def tiled_segment_spmm(x: jax.Array, tcsr: TiledCSR,
+                       reverse_tcsr: Optional[TiledCSR] = None) -> jax.Array:
+    """Differentiable Pallas SpMM: ``out[i] = Σ_{e: recv_e=i} w_e x[send_e]``.
+
+    ``reverse_tcsr`` (transposed orientation, built once per graph) makes the
+    backward pass a second Pallas SpMM; without it the backward uses XLA
+    scatter."""
+    return _tiled_segment_spmm_fwd(tcsr, x)
+
+
+def _spmm_fwd(x, tcsr, reverse_tcsr):
+    return (_tiled_segment_spmm_fwd(tcsr, x),
+            (tcsr, reverse_tcsr, x.shape[0]))
+
+
+def _spmm_bwd(res, g):
+    tcsr, reverse_tcsr, n_in = res
+    if reverse_tcsr is not None:
+        gx = _tiled_segment_spmm_fwd(reverse_tcsr, g)[:n_in]
+    else:
+        # XLA fallback: grad_x[j] = sum_{e: sender j} w_e * g[recv_e]
+        recv_global = (tcsr.chunk_tile[:, None] * tcsr.tn + tcsr.recv_local)
+        gj = jnp.take(g, recv_global.reshape(-1), axis=0)
+        gj = gj * tcsr.wmask.reshape(-1, 1)
+        gx = jax.ops.segment_sum(gj, tcsr.senders.reshape(-1),
+                                 num_segments=n_in)
+    tcsr_bar = _zeros_like_tree(tcsr)
+    rev_bar = None if reverse_tcsr is None else _zeros_like_tree(reverse_tcsr)
+    return (gx.astype(g.dtype), tcsr_bar, rev_bar)
+
+
+tiled_segment_spmm.defvjp(_spmm_fwd, _spmm_bwd)

@@ -46,18 +46,27 @@ def precompute(
     *,
     dense: Optional[bool] = None,
     csr: bool = True,
+    pallas: Optional[bool] = None,
     dense_threshold_nodes: int = 8192,
     adj_dtype=jnp.float32,
+    edge_weight=None,
+    tn: Optional[int] = None,
+    te: Optional[int] = None,
 ) -> GnnGraph:
     """Attach SpMM acceleration structure to ``g.cache``.
 
     - ``adj``: dense unweighted adjacency (receiver-major), used by the dense
       path when no runtime edge weights are supplied.
-    - ``csr_offsets``: row offsets for the Pallas kernel (requires sorting
-      edges by receiver, which this performs).
+    - ``csr_offsets``: row offsets (sorting edges by receiver first).
+    - ``tcsr``/``tcsr_rev``: Pallas tiled-CSR layouts (forward + transposed
+      for the backward pass); ``edge_weight`` may be baked in here.
+
+    Must be called outside jit (host-side tiling).
     """
     if dense is None:
         dense = g.num_nodes <= dense_threshold_nodes
+    if pallas is None:
+        pallas = not dense
     if csr and not g.receivers_sorted:
         g = sort_by_receiver(g)
     cache = dict(g.cache)
@@ -65,6 +74,20 @@ def precompute(
         cache["adj"] = to_dense_adjacency(g, dtype=adj_dtype)
     if csr:
         cache["csr_offsets"] = csr_offsets(g)
+    if pallas:
+        import numpy as np
+
+        from ..kernels.segment_kernels import (
+            TE_DEFAULT, TN_DEFAULT, build_tiled_csr,
+        )
+
+        kw = dict(tn=tn or TN_DEFAULT, te=te or TE_DEFAULT)
+        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+        ew = None if edge_weight is None else np.asarray(edge_weight)
+        cache["tcsr"] = build_tiled_csr(s, r, g.num_nodes, edge_weight=ew,
+                                        **kw)
+        cache["tcsr_rev"] = build_tiled_csr(r, s, g.num_nodes,
+                                            edge_weight=ew, **kw)
     return g.copy(cache=cache)
 
 
@@ -85,14 +108,11 @@ def spmm_dense(g: GnnGraph, x: jax.Array) -> jax.Array:
                    preferred_element_type=x.dtype).astype(x.dtype)
 
 
-def spmm_pallas(g: GnnGraph, x: jax.Array,
-                edge_weight: Optional[jax.Array] = None) -> jax.Array:
-    from ..kernels.segment_kernels import csr_spmm
+def spmm_pallas(g: GnnGraph, x: jax.Array) -> jax.Array:
+    from ..kernels.segment_kernels import tiled_segment_spmm
 
-    return csr_spmm(
-        g.cache["csr_offsets"], g.senders, x,
-        num_nodes=g.num_nodes, edge_weight=edge_weight,
-    )
+    out = tiled_segment_spmm(x, g.cache["tcsr"], g.cache.get("tcsr_rev"))
+    return out[: g.num_nodes]
 
 
 def spmm(g: GnnGraph, x: jax.Array,
@@ -103,17 +123,17 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "auto":
         if "adj" in g.cache and edge_weight is None:
             mode = "dense"
-        elif "csr_offsets" in g.cache and x.ndim == 2:
+        elif "tcsr" in g.cache and x.ndim == 2 and edge_weight is None:
             mode = "pallas"
         else:
             mode = "xla"
-    if mode == "dense":
-        if edge_weight is not None or "adj" not in g.cache:
-            mode = "xla"  # weighted/no-cache falls back
-    if mode == "pallas" and ("csr_offsets" not in g.cache or x.ndim != 2):
+    if mode == "dense" and (edge_weight is not None or "adj" not in g.cache):
+        mode = "xla"  # weighted/no-cache falls back
+    if mode == "pallas" and ("tcsr" not in g.cache or x.ndim != 2
+                             or edge_weight is not None):
         mode = "xla"
     if mode == "dense":
         return spmm_dense(g, x)
     if mode == "pallas":
-        return spmm_pallas(g, x, edge_weight)
+        return spmm_pallas(g, x)
     return spmm_xla(g, x, edge_weight)

@@ -1,0 +1,22 @@
+from .partition import (
+    PartitionedGraph,
+    partition_graph,
+    pad_node_features,
+    unpad_node_features,
+)
+from .halo import (
+    GRAPH_AXIS,
+    make_mesh,
+    sharded_spmm,
+    sharded_gcn_forward,
+    shard_node_features,
+    replicate,
+)
+from .layers import ShardedGCNConv, sharded_grand_model
+
+__all__ = [
+    "PartitionedGraph", "partition_graph", "pad_node_features",
+    "unpad_node_features", "GRAPH_AXIS", "make_mesh", "sharded_spmm",
+    "sharded_gcn_forward", "shard_node_features", "replicate",
+    "ShardedGCNConv", "sharded_grand_model",
+]

@@ -1,0 +1,91 @@
+"""Distributed layer wrappers: sharded GCN and a distributed GRAND model.
+
+These mirror the single-device layers' math but consume a
+``PartitionedGraph`` from state and run their aggregation through
+``sharded_spmm``'s halo exchange. Parity with the single-device layers is
+tested on a virtual CPU mesh (tests/test_parallel.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..nn.basic import Dense, glorot_uniform, resolve_activation, zeros_init
+from ..nn.core import ContainerLayer, Layer
+from ..ode.neural_ode import NeuralGraphODE
+from .halo import GRAPH_AXIS, sharded_gcn_forward
+from .partition import PartitionedGraph
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ShardedGCNConv(Layer):
+    """GCNConv over an edge-partitioned graph on a device mesh.
+
+    The graph must already contain self-loops if desired (add them before
+    ``partition_graph`` — runtime self-loop insertion would invalidate the
+    static partition).
+    """
+
+    in_chs: int
+    out_chs: int
+    activation: Union[None, str, Callable] = None
+    mesh: Optional[Mesh] = None
+    axis_name: str = GRAPH_AXIS
+    initialgraph: Optional[Callable] = None
+    init_weight: Callable = glorot_uniform
+    init_bias: Callable = zeros_init
+    use_bias: bool = True
+
+    def initialparameters(self, rng):
+        wk, bk = jax.random.split(rng)
+        ps = {"weight": self.init_weight(wk, (self.in_chs, self.out_chs))}
+        if self.use_bias:
+            ps["bias"] = self.init_bias(bk, (1, self.out_chs))
+        return ps
+
+    def initialstates(self, rng):
+        return {"graph": self.initialgraph() if self.initialgraph else None}
+
+    def __call__(self, x, ps, st):
+        pg: PartitionedGraph = st["graph"]
+        y = sharded_gcn_forward(
+            pg, x, ps["weight"], ps.get("bias"), self.mesh,
+            activation=resolve_activation(self.activation),
+            axis_name=self.axis_name)
+        return y, st
+
+
+def sharded_grand_model(
+    in_dims: int,
+    hidden_dims: int,
+    out_dims: int,
+    mesh: Mesh,
+    *,
+    tspan: Tuple[float, float] = (0.0, 1.0),
+    solver: str = "tsit5",
+    rtol: float = 1e-3,
+    atol: float = 1e-3,
+    initialgraph: Optional[Callable] = None,
+    rhs_depth: int = 2,
+):
+    """Distributed GRAND: encoder GCN → GCN-chain neural ODE → decoder, all
+    row-sharded over the mesh's graph axis (params replicated — DP/graph
+    hybrid per SURVEY §2.3 plan)."""
+    from ..nn.basic import Chain
+
+    rhs = Chain(tuple(
+        ShardedGCNConv(hidden_dims, hidden_dims, "tanh", mesh=mesh,
+                       initialgraph=initialgraph)
+        for _ in range(rhs_depth)))
+    node = NeuralGraphODE(rhs, tspan=tspan, solver=solver, rtol=rtol,
+                          atol=atol, output="last")
+    return Chain((
+        ShardedGCNConv(in_dims, hidden_dims, "relu", mesh=mesh,
+                       initialgraph=initialgraph),
+        node,
+        Dense(hidden_dims, out_dims),
+    ))

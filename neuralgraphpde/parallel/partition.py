@@ -1,0 +1,123 @@
+"""Edge partitioning for multi-device graph execution.
+
+The reference is single-device (SURVEY §2.3: no parallelism anywhere in the
+Julia package); this module provides the north-star capability from
+BASELINE.json: partition the graph's edges (and their incident nodes) across
+devices so each right-hand-side evaluation does local gather → message →
+segment-reduce with only boundary node features exchanged.
+
+Scheme (v1):
+- Nodes are split into ``P`` contiguous blocks of equal size (padded).
+- Each edge is owned by the partition of its *receiver*, so segment
+  reductions never cross devices; only sender features need communication.
+- Per-partition edge lists are padded to the max per-partition count so all
+  shapes are static; padded edges are masked.
+
+Built host-side with NumPy: partitioning is data preparation, done once.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.gnngraph import GnnGraph
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True, eq=False)
+class PartitionedGraph:
+    """Static edge-partitioned graph. Arrays carry a leading device axis
+    ``P`` and are intended to be sharded over a mesh axis with
+    ``PartitionSpec('graph', ...)`` (one row per device)."""
+
+    senders_global: jax.Array  # (P, E_max) int32 — global sender ids
+    receivers_local: jax.Array  # (P, E_max) int32 — receiver - block_start
+    edge_mask: jax.Array  # (P, E_max) float32 — 0 on padding
+    in_degree: jax.Array  # (P, nodes_per_part) float32 (true graph degrees)
+    node_mask: jax.Array  # (P, nodes_per_part) float32 — 0 on padded nodes
+    num_partitions: int
+    nodes_per_part: int
+    num_nodes: int  # true (unpadded) node count
+    num_edges: int  # true edge count
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_partitions * self.nodes_per_part
+
+    def tree_flatten(self):
+        children = (self.senders_global, self.receivers_local, self.edge_mask,
+                    self.in_degree, self.node_mask)
+        aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
+               self.num_edges)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def partition_graph(
+    g: GnnGraph,
+    num_partitions: int,
+    *,
+    pad_edges_to_multiple: int = 128,
+) -> PartitionedGraph:
+    """Partition ``g`` by receiver into contiguous node blocks."""
+    P = num_partitions
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    N, E = g.num_nodes, g.num_edges
+
+    npp = -(-N // P)  # nodes per partition (ceil)
+    part_of_edge = r // npp
+
+    counts = np.bincount(part_of_edge, minlength=P)
+    e_max = int(counts.max()) if E else pad_edges_to_multiple
+    e_max = -(-e_max // pad_edges_to_multiple) * pad_edges_to_multiple
+
+    senders_g = np.zeros((P, e_max), np.int32)
+    recv_l = np.zeros((P, e_max), np.int32)
+    emask = np.zeros((P, e_max), np.float32)
+    order = np.argsort(part_of_edge * (N + 1) + r, kind="stable")
+    s_sorted, r_sorted, p_sorted = s[order], r[order], part_of_edge[order]
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    for p in range(P):
+        lo, hi = offsets[p], offsets[p + 1]
+        n = hi - lo
+        senders_g[p, :n] = s_sorted[lo:hi]
+        recv_l[p, :n] = r_sorted[lo:hi] - p * npp
+        emask[p, :n] = 1.0
+
+    deg = np.bincount(r, minlength=P * npp).astype(np.float32)
+    in_degree = deg.reshape(P, npp)
+    nmask = np.zeros((P, npp), np.float32)
+    flat = np.arange(P * npp)
+    nmask.reshape(-1)[flat < N] = 1.0
+
+    return PartitionedGraph(
+        senders_global=jnp.asarray(senders_g),
+        receivers_local=jnp.asarray(recv_l),
+        edge_mask=jnp.asarray(emask[..., None]),
+        in_degree=jnp.asarray(in_degree),
+        node_mask=jnp.asarray(nmask[..., None]),
+        num_partitions=P,
+        nodes_per_part=npp,
+        num_nodes=N,
+        num_edges=E,
+    )
+
+
+def pad_node_features(x: np.ndarray, pg: PartitionedGraph) -> np.ndarray:
+    """Pad (N, F) node features to (P * nodes_per_part, F)."""
+    pad = pg.padded_nodes - x.shape[0]
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def unpad_node_features(x, pg: PartitionedGraph):
+    return x[: pg.num_nodes]

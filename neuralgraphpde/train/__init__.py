@@ -1,0 +1,8 @@
+from .losses import masked_cross_entropy, accuracy, mse, rollout_mse
+from .optim import adam, rprop
+from .loop import TrainState, make_train_step, MetricsLogger, fit
+
+__all__ = [
+    "masked_cross_entropy", "accuracy", "mse", "rollout_mse", "adam", "rprop",
+    "TrainState", "make_train_step", "MetricsLogger", "fit",
+]

@@ -1,0 +1,89 @@
+"""Training loop: jitted step, metrics, checkpointing hooks.
+
+Library-code promotion of the reference's tutorial training loops
+(``Zygote.pullback`` + ``Optimisers.update`` per epoch, reference
+docs/src/tutorials/graph_node.md:118-135, VMH.md:125-148).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import optax
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                    has_aux: bool = False, donate: bool = True):
+    """Build a jitted ``(params, opt_state, *batch) -> (params, opt_state,
+    loss[, aux])`` step. ``loss_fn(params, *batch)``."""
+
+    def step(params, opt_state, *batch):
+        if has_aux:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, *batch)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            aux = None
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+@dataclasses.dataclass
+class MetricsLogger:
+    """Minimal metrics sink: in-memory history + optional JSONL file
+    (SURVEY §5.5 observability plan)."""
+
+    path: Optional[str] = None
+    history: List[Dict] = dataclasses.field(default_factory=list)
+    _t0: float = dataclasses.field(default_factory=time.time)
+
+    def log(self, step: int, **metrics):
+        rec = {"step": step, "wall_time": time.time() - self._t0}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self.history.append(rec)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return rec
+
+
+def fit(
+    loss_fn: Callable,
+    params: Any,
+    optimizer: optax.GradientTransformation,
+    batches,
+    *,
+    epochs: int = 1,
+    eval_fn: Optional[Callable] = None,
+    logger: Optional[MetricsLogger] = None,
+    log_every: int = 1,
+) -> TrainState:
+    """Generic fit: ``batches`` is an iterable (re-iterated per epoch) of
+    argument tuples passed to ``loss_fn(params, *batch)``."""
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(loss_fn, optimizer, donate=False)
+    logger = logger or MetricsLogger()
+    step = 0
+    for epoch in range(epochs):
+        for batch in batches:
+            params, opt_state, loss, _ = train_step(params, opt_state, *batch)
+            step += 1
+        if (epoch + 1) % log_every == 0:
+            metrics = {"loss": float(loss), "epoch": epoch + 1}
+            if eval_fn is not None:
+                metrics.update(eval_fn(params))
+            logger.log(step, **metrics)
+    return TrainState(params=params, opt_state=opt_state, step=step)

@@ -1,0 +1,110 @@
+"""Pallas kernel tests (interpret mode on CPU): tiled-CSR segment SpMM vs
+XLA reference, gradients, weighted edges, padding/odd shapes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralgraphpde import GnnGraph, rand_graph
+from neuralgraphpde.kernels.segment_kernels import (
+    _tiled_segment_spmm_fwd, build_tiled_csr, tiled_segment_spmm,
+)
+from neuralgraphpde.ops.spmm import spmm_xla
+
+
+def ref_spmm(s, r, w, x, n):
+    out = np.zeros((n, x.shape[1]), np.float32)
+    for k in range(len(s)):
+        out[r[k]] += w[k] * x[s[k]]
+    return out
+
+
+@pytest.mark.parametrize("n,e,f,tn,te", [
+    (50, 200, 16, 8, 32),
+    (100, 1000, 128, 16, 64),
+    (33, 77, 24, 8, 16),   # odd everything
+])
+def test_tiled_spmm_matches_reference(n, e, f, tn, te):
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    tcsr = build_tiled_csr(s, r, n, tn=tn, te=te)
+    got = np.asarray(_tiled_segment_spmm_fwd(tcsr, jnp.asarray(x),
+                                             interpret=True))[:n]
+    want = ref_spmm(s, r, np.ones(e), x, n)
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_tiled_spmm_weighted():
+    rng = np.random.default_rng(1)
+    n, e, f = 40, 160, 8
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    tcsr = build_tiled_csr(s, r, n, edge_weight=w, tn=8, te=32)
+    got = np.asarray(_tiled_segment_spmm_fwd(tcsr, jnp.asarray(x),
+                                             interpret=True))[:n]
+    assert np.allclose(got, ref_spmm(s, r, w, x, n), atol=1e-4)
+
+
+def test_tiled_spmm_gradient_with_reverse():
+    rng = np.random.default_rng(2)
+    n, e, f = 30, 120, 8
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    tcsr = build_tiled_csr(s, r, n, tn=8, te=32)
+    rev = build_tiled_csr(r, s, n, tn=8, te=32)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss_pallas(x):
+            return jnp.sum(tiled_segment_spmm(x, tcsr, rev)[:n] ** 2)
+
+        g_pallas = jax.grad(loss_pallas)(x)
+
+    g = GnnGraph.from_coo(s.astype(np.int32), r.astype(np.int32), num_nodes=n)
+
+    def loss_xla(x):
+        return jnp.sum(spmm_xla(g, x) ** 2)
+
+    g_xla = jax.grad(loss_xla)(x)
+    assert np.allclose(np.asarray(g_pallas), np.asarray(g_xla), atol=1e-3)
+
+
+def test_spmm_dispatch_pallas_mode():
+    """ops.spmm with a precomputed TiledCSR must agree with the XLA path
+    (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from neuralgraphpde.ops import precompute, spmm
+    from neuralgraphpde.ops.spmm import set_spmm_mode
+
+    g = rand_graph(60, 500, seed=3)
+    gp = precompute(g, dense=False, pallas=True, tn=8, te=64)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(60, 16))
+                    .astype(np.float32))
+    want = np.asarray(spmm_xla(g, x))
+    set_spmm_mode("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(spmm(gp, x))
+    finally:
+        set_spmm_mode("auto")
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_feature_padding_path():
+    """F not a multiple of the feature tile exercises the pad/strip path."""
+    rng = np.random.default_rng(4)
+    n, e, f = 20, 80, 5
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    tcsr = build_tiled_csr(s, r, n, tn=8, te=16)
+    got = np.asarray(_tiled_segment_spmm_fwd(tcsr, jnp.asarray(x),
+                                             interpret=True))[:n]
+    assert np.allclose(got, ref_spmm(s, r, np.ones(e), x, n), atol=1e-4)

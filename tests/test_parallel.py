@@ -1,0 +1,128 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: partitioning
+round-trips, sharded SpMM/GCN parity vs single-device, distributed GRAND
+train step (SURVEY §4 multi-host test plan)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralgraphpde import (
+    GCNConv, GnnGraph, add_self_loops, rand_graph, setup, spmm,
+)
+from neuralgraphpde.parallel import (
+    make_mesh, pad_node_features, partition_graph, replicate,
+    shard_node_features, sharded_gcn_forward, sharded_grand_model,
+    sharded_spmm, ShardedGCNConv,
+)
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= NDEV, "conftest must provide 8 cpu devices"
+    return make_mesh(NDEV)
+
+
+def test_partition_roundtrip_spmm(mesh):
+    g = rand_graph(100, 700, seed=0)
+    pg = partition_graph(g, NDEV)
+    x = np.random.default_rng(0).normal(size=(100, 16)).astype(np.float32)
+    want = np.asarray(spmm(g, jnp.asarray(x)))
+
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+    got = np.asarray(sharded_spmm(pg, xp, mesh))[: g.num_nodes]
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_partition_uneven_nodes(mesh):
+    # node count not divisible by device count exercises padding
+    g = rand_graph(101, 643, seed=1)
+    pg = partition_graph(g, NDEV)
+    assert pg.padded_nodes >= 101
+    x = np.random.default_rng(1).normal(size=(101, 8)).astype(np.float32)
+    want = np.asarray(spmm(g, jnp.asarray(x)))
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+    got = np.asarray(sharded_spmm(pg, xp, mesh))[: g.num_nodes]
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_sharded_gcn_matches_single_device(mesh):
+    g = rand_graph(64, 512, seed=2)
+    gl = add_self_loops(g)
+    pg = partition_graph(gl, NDEV)
+
+    x = np.random.default_rng(2).normal(size=(64, 12)).astype(np.float32)
+    l = GCNConv(12, 20, "tanh", initialgraph=g)
+    ps, st = setup(jax.random.PRNGKey(0), l)
+    want, _ = l(jnp.asarray(x), ps, st)
+
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+    got = sharded_gcn_forward(pg, xp, ps["weight"], ps["bias"], mesh,
+                              activation=jnp.tanh)
+    assert np.allclose(np.asarray(got)[:64], np.asarray(want), atol=1e-5)
+
+
+def test_sharded_gcn_out_lt_in_premultiply(mesh):
+    g = rand_graph(64, 512, seed=3)
+    gl = add_self_loops(g)
+    pg = partition_graph(gl, NDEV)
+    x = np.random.default_rng(3).normal(size=(64, 16)).astype(np.float32)
+    l = GCNConv(16, 4, initialgraph=g)
+    ps, st = setup(jax.random.PRNGKey(1), l)
+    want, _ = l(jnp.asarray(x), ps, st)
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+    got = sharded_gcn_forward(pg, xp, ps["weight"], ps["bias"], mesh)
+    assert np.allclose(np.asarray(got)[:64], np.asarray(want), atol=1e-5)
+
+
+def test_distributed_grand_train_step(mesh):
+    """Full distributed training step: sharded features, replicated params,
+    grad through the ODE solve + halo exchanges."""
+    import optax
+
+    g = add_self_loops(rand_graph(64, 300, seed=4))
+    pg = partition_graph(g, NDEV)
+    model = sharded_grand_model(8, 16, 3, mesh, initialgraph=lambda: pg,
+                                rtol=1e-3, atol=1e-3)
+    ps, st = setup(jax.random.PRNGKey(0), model)
+
+    x = np.random.default_rng(4).normal(size=(64, 8)).astype(np.float32)
+    y = np.random.default_rng(5).integers(0, 3, size=64)
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+    labels = jnp.asarray(y)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(ps)
+
+    def loss_fn(ps, xp):
+        logits, _ = model(xp, ps, st)
+        logits = logits[: g.num_nodes]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(
+            jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    @jax.jit
+    def step(ps, opt_state, xp):
+        loss, grads = jax.value_and_grad(loss_fn)(ps, xp)
+        updates, opt_state = opt.update(grads, opt_state, ps)
+        return optax.apply_updates(ps, updates), opt_state, loss
+
+    ps2, opt_state, loss = step(ps, opt_state, xp)
+    assert np.isfinite(float(loss))
+    # params actually changed
+    delta = sum(float(jnp.sum(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(ps),
+                                jax.tree_util.tree_leaves(ps2)))
+    assert delta > 0
+
+
+def test_sharded_layer_in_state_protocol(mesh):
+    g = add_self_loops(rand_graph(32, 128, seed=6))
+    pg = partition_graph(g, NDEV)
+    l = ShardedGCNConv(4, 4, mesh=mesh, initialgraph=lambda: pg)
+    ps, st = setup(jax.random.PRNGKey(0), l)
+    x = shard_node_features(
+        pad_node_features(np.ones((32, 4), np.float32), pg), pg, mesh)
+    y, st2 = l(x, ps, st)
+    assert y.shape[0] == pg.padded_nodes
