@@ -1,0 +1,90 @@
+"""Config 2 (BASELINE.json): VMHConv neural graph ODE on 2D
+convection-diffusion over scattered nodes — the reference's VMH tutorial
+(docs/src/tutorials/VMH.md) as a runnable script, including the
+graph-rebind-per-batch pattern (VMH.md:134) and the published loss curve as
+the parity target (BASELINE.md: 0.0272 @ epoch 10 → 0.00098 @ epoch 200).
+
+CPU-quick: python examples/train_vmh.py --cpu --sims 4 --points 300 --epochs 20
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import argparse
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Config:
+    num_sims: int = 24
+    num_points: int = 3000
+    t_end: float = 0.2
+    num_saves: int = 21
+    hidden: int = 60
+    msg_dim: int = 40
+    depth: int = 3
+    optimizer: str = "rprop"  # reference uses Rprop (VMH.md:97)
+    lr: float = 1e-3
+    epochs: int = 200
+    batch: int = 4
+    seed: int = 0
+
+
+def main(cfg: Config):
+    from neuralgraphpde import setup, update_graph
+    from neuralgraphpde.data.pde import convection_diffusion_dataset
+    from neuralgraphpde.models import vmh_model
+    from neuralgraphpde.train import MetricsLogger, adam, make_train_step, rprop
+
+    data = convection_diffusion_dataset(
+        num_sims=cfg.num_sims, num_points=cfg.num_points, t_end=cfg.t_end,
+        num_saves=cfg.num_saves, seed=cfg.seed)
+
+    saveat = tuple(np.asarray(data.ts))
+    model = vmh_model(1, 2, hidden=cfg.hidden, msg_dim=cfg.msg_dim,
+                      depth=cfg.depth, tspan=(saveat[0], saveat[-1]),
+                      saveat=saveat, rtol=1e-3, atol=1e-3)
+    ps, st = setup(jax.random.PRNGKey(cfg.seed), model)
+    # all sims share one graph: bind it once (re-bind per batch when graphs
+    # differ — the update_graph pattern)
+    st = update_graph(st, data.graph)
+
+    u = jnp.asarray(data.u)  # (S, T, M, 1)
+
+    def loss_fn(ps, u_batch):
+        def one(u_traj):
+            pred, _ = model(u_traj[0], ps, st)
+            return jnp.mean((pred - u_traj) ** 2)
+
+        return jnp.mean(jax.vmap(one)(u_batch))
+
+    opt = rprop(cfg.lr) if cfg.optimizer == "rprop" else adam(cfg.lr)
+    opt_state = opt.init(ps)
+    step = make_train_step(loss_fn, opt, donate=False)
+    logger = MetricsLogger()
+    rng = np.random.default_rng(cfg.seed)
+    for epoch in range(cfg.epochs):
+        perm = rng.permutation(cfg.num_sims)
+        for i in range(0, cfg.num_sims, cfg.batch):
+            idx = perm[i:i + cfg.batch]
+            ps, opt_state, loss, _ = step(ps, opt_state, u[idx])
+        if (epoch + 1) % 10 == 0 or epoch == 0:
+            rec = logger.log(epoch + 1, train_mse=loss)
+            print(f"epoch {epoch + 1:4d} | train mse {rec['train_mse']:.5f}")
+    return logger
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--sims", type=int, default=24)
+    p.add_argument("--points", type=int, default=3000)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--optimizer", default="rprop")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    main(Config(num_sims=args.sims, num_points=args.points,
+                epochs=args.epochs, optimizer=args.optimizer))

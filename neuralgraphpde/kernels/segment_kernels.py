@@ -67,7 +67,24 @@ def build_tiled_csr(
     tn: int = TN_DEFAULT,
     te: int = TE_DEFAULT,
 ) -> TiledCSR:
-    """Host-side tiling. ``receivers`` need not be pre-sorted."""
+    """Host-side tiling. ``receivers`` need not be pre-sorted. Uses the
+    native C++ builder (csrc/graph_ops.cpp) when available."""
+    from .. import native
+
+    num_tiles_out = max(-(-num_nodes // tn), 1)
+    if native.available():
+        built = native.tiled_csr(
+            np.asarray(senders), np.asarray(receivers), num_nodes,
+            edge_weight=None if edge_weight is None
+            else np.asarray(edge_weight), tn=tn, te=te)
+        if built is not None:
+            sk, rl, wm, ct = built
+            return TiledCSR(
+                senders=jnp.asarray(sk), recv_local=jnp.asarray(rl),
+                wmask=jnp.asarray(wm), chunk_tile=jnp.asarray(ct),
+                num_tiles=num_tiles_out, tn=tn, te=te, num_nodes=num_nodes,
+            )
+
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     E = senders.shape[0]

@@ -29,15 +29,23 @@ def grand_model(
     steps_per_interval: int = 8,
     initialgraph: Optional[GnnGraph] = None,
     rhs_depth: int = 2,
+    precomputed_self_loops: bool = False,
 ) -> Chain:
+    """``precomputed_self_loops=True`` assumes the graph bound at runtime
+    already contains self-loops (add them before ``ops.precompute`` so the
+    SpMM cache — dense adjacency / tiled CSR / degrees — stays valid inside
+    the ODE hot loop)."""
+    asl = not precomputed_self_loops
     rhs = Chain(tuple(
-        GCNConv(hidden_dims, hidden_dims, "tanh", initialgraph=initialgraph)
+        GCNConv(hidden_dims, hidden_dims, "tanh", initialgraph=initialgraph,
+                add_self_loops=asl)
         for _ in range(rhs_depth)))
     node = NeuralGraphODE(
         rhs, tspan=tspan, solver=solver, rtol=rtol, atol=atol,
         adjoint=adjoint, steps_per_interval=steps_per_interval, output="last")
     return Chain((
-        GCNConv(in_dims, hidden_dims, "relu", initialgraph=initialgraph),
+        GCNConv(in_dims, hidden_dims, "relu", initialgraph=initialgraph,
+                add_self_loops=asl),
         node,
         Dense(hidden_dims, out_dims),
     ))

@@ -149,7 +149,12 @@ class GCNConv(AbstractGNNLayer):
             dw = g.edata["e"].reshape(-1)
         else:
             dw = None
-        d = _degree(g, x.dtype, direction="in", edge_weight=dw)
+        if dw is None and "in_degree" in g.cache:
+            # precomputed by ops.precompute — keeps the degree segment-sum
+            # out of the per-stage ODE hot loop
+            d = g.cache["in_degree"].astype(x.dtype)
+        else:
+            d = _degree(g, x.dtype, direction="in", edge_weight=dw)
         # NB: not lax.rsqrt — XLA:CPU lowers that to the approximate rsqrt
         # instruction, which breaks allclose parity.
         c = jnp.where(d > 0, 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30)), 0.0)

@@ -70,6 +70,10 @@ def precompute(
     if csr and not g.receivers_sorted:
         g = sort_by_receiver(g)
     cache = dict(g.cache)
+    from ..graph.transforms import degree as _degree
+
+    cache["in_degree"] = _degree(g, jnp.float32, direction="in",
+                                 edge_weight=edge_weight)
     if dense:
         cache["adj"] = to_dense_adjacency(g, dtype=adj_dtype)
     if csr:
