@@ -1,16 +1,23 @@
 """Benchmark: fused SpMM inside an ODE right-hand side — edges/s/chip.
 
 Runs the GCN ODE RHS (degree-scale → SpMM → degree-scale → weight matmul →
-activation) in an on-device loop over a large random graph and reports
+activation) in an on-device `fori_loop` over a large random graph and reports
 sustained edges/s on one chip. ``vs_baseline`` compares the framework's
-dispatched best path against the plain XLA gather+segment_sum implementation
-of the same RHS (the reference's NNlib-scatter equivalent).
+dispatched best path (Pallas tiled-CSR / dense MXU) against the plain XLA
+gather+segment_sum implementation of the same RHS (the structural equivalent
+of the reference's NNlib scatter path).
+
+Relay-aware measurement (see docs/tpu_design.md): all graph preprocessing is
+host-side NumPy (zero device→host reads), synchronization is via a single
+scalar read, and steady-state time is the difference between a long and a
+short loop of the same compiled family — host↔device latency cancels.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -18,64 +25,94 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def build(num_nodes: int, avg_degree: int, feat: int):
-    from neuralgraphpde.data import random_spmm_graph
-    from neuralgraphpde.graph import sort_by_receiver
-
-    g, x = random_spmm_graph(num_nodes, avg_degree, feat, seed=0)
-    g = sort_by_receiver(g)
-    deg = np.bincount(np.asarray(g.receivers), minlength=num_nodes)
-    c = 1.0 / np.sqrt(np.maximum(deg, 1)).astype(np.float32)
-    w = np.random.default_rng(1).normal(size=(feat, feat)).astype(np.float32)
-    w *= (1.0 / np.sqrt(feat))
-    return g, jnp.asarray(x), jnp.asarray(c[:, None]), jnp.asarray(w)
+NUM_NODES = 1 << 18
+AVG_DEGREE = 16
+FEAT = 128
+ITERS_SHORT, ITERS_LONG = 4, 24
 
 
-def make_rhs(g, c, w, spmm_fn):
-    def rhs(x):
-        h = x * c
-        h = spmm_fn(g, h)
-        h = h * c
-        h = jnp.dot(h, w, preferred_element_type=h.dtype)
-        return jnp.tanh(h)
+def sync_scalar(v) -> float:
+    """Force execution by fetching one scalar (large d2h reads stall on the
+    tunneled backend; block_until_ready does not reliably block)."""
+    return float(jnp.sum(v[0, :8]))
 
-    def loop(x, iters):
+
+def build_host():
+    rng = np.random.default_rng(0)
+    E = NUM_NODES * AVG_DEGREE
+    senders = rng.integers(0, NUM_NODES, E, dtype=np.int64).astype(np.int32)
+    receivers = np.sort(
+        rng.integers(0, NUM_NODES, E, dtype=np.int64)).astype(np.int32)
+    deg = np.bincount(receivers, minlength=NUM_NODES).astype(np.float32)
+    c = (1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32)
+    x = rng.normal(size=(NUM_NODES, FEAT)).astype(np.float32)
+    w = (rng.normal(size=(FEAT, FEAT)) / np.sqrt(FEAT)).astype(np.float32)
+    return senders, receivers, c, x, w
+
+
+def make_loop(spmm_fn):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def loop(x, c, w, iters):
+        def rhs(v):
+            h = v * c[:, None]
+            h = spmm_fn(h)
+            h = h * c[:, None]
+            h = jnp.dot(h, w, preferred_element_type=h.dtype)
+            return jnp.tanh(h)
+
         return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x)
 
-    return jax.jit(loop, static_argnums=1)
+    return loop
 
 
-def time_loop(fn, x, iters, warmup=1):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(x, iters))
+def steady_delta(loop, x, c, w):
+    """Seconds per iteration from the (long - short) loop difference."""
+    sync_scalar(loop(x, c, w, ITERS_SHORT))  # compile short
+    sync_scalar(loop(x, c, w, ITERS_LONG))  # compile long
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(x, iters))
-    return time.perf_counter() - t0
+    sync_scalar(loop(x, c, w, ITERS_SHORT))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync_scalar(loop(x, c, w, ITERS_LONG))
+    t_long = time.perf_counter() - t0
+    return max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
 
 
 def main():
-    num_nodes, avg_degree, feat = 1 << 18, 16, 128
-    iters = 20
+    from neuralgraphpde.kernels.segment_kernels import (
+        build_tiled_csr, tiled_segment_spmm,
+    )
 
-    g, x, c, w = build(num_nodes, avg_degree, feat)
-    num_edges = g.num_edges
+    senders_np, receivers_np, c_np, x_np, w_np = build_host()
+    E = senders_np.shape[0]
 
-    from neuralgraphpde.ops import spmm as dispatch_spmm
-    from neuralgraphpde.ops.spmm import spmm_xla
+    tcsr = build_tiled_csr(senders_np, receivers_np, NUM_NODES)
+    tcsr_rev = build_tiled_csr(receivers_np, senders_np, NUM_NODES)
 
-    # Baseline: plain XLA gather + segment-sum path.
-    base_fn = make_rhs(g, c, w, spmm_xla)
-    t_base = time_loop(base_fn, x, iters)
-    base_eps = num_edges * iters / t_base
+    senders = jnp.asarray(senders_np)
+    receivers = jnp.asarray(receivers_np)
+    x = jnp.asarray(x_np)
+    c = jnp.asarray(c_np)
+    w = jnp.asarray(w_np)
 
-    # Framework best path (dispatcher may select pallas/dense when available).
-    from neuralgraphpde.ops import precompute
+    def spmm_xla(h):
+        xj = jnp.take(h, senders, axis=0)
+        return jax.ops.segment_sum(xj, receivers, num_segments=NUM_NODES,
+                                   indices_are_sorted=True)
 
-    g_fast = precompute(g, dense=False, csr=True)
-    best_fn = make_rhs(g_fast, c, w, dispatch_spmm)
-    t_best = time_loop(best_fn, x, iters)
-    best_eps = num_edges * iters / t_best
+    def spmm_pallas(h):
+        return tiled_segment_spmm(h, tcsr, tcsr_rev)[:NUM_NODES]
+
+    dt_base = steady_delta(make_loop(spmm_xla), x, c, w)
+    base_eps = E / dt_base
+
+    try:
+        dt_best = steady_delta(make_loop(spmm_pallas), x, c, w)
+        best_eps = E / dt_best
+    except Exception as err:  # pallas path unavailable: report baseline
+        print(f"# pallas path failed: {type(err).__name__}: {err}",
+              flush=True)
+        best_eps = base_eps
 
     value = max(best_eps, base_eps)
     print(json.dumps({

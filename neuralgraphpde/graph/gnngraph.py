@@ -97,6 +97,11 @@ class GnnGraph:
     # for the MXU SpMM path, ``csr_offsets`` for the Pallas kernels. Filled by
     # ``neuralgraphpde.ops.spmm.precompute``; ignored by ``__eq__``.
     cache: FeatureDict = dataclasses.field(default_factory=dict)
+    # Host-side NumPy copy of (senders, receivers), kept when the graph was
+    # built from NumPy so host-side preprocessing (tiled CSR, partitioning)
+    # never triggers a device→host read (which can be pathologically slow on
+    # tunneled TPU backends). NOT part of the pytree — lost across jit.
+    host_coo: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     # ---------------------------------------------------------- construction
     @classmethod
@@ -113,6 +118,14 @@ class GnnGraph:
         graph_indicator=None,
         sort_by_receiver: bool = False,
     ) -> "GnnGraph":
+        # Keep a host copy when the input is host data (list/NumPy): used by
+        # host-side preprocessing without device→host reads.
+        host_input = not isinstance(senders, (jnp.ndarray, jax.core.Tracer))
+        host_coo = None
+        if host_input:
+            s_np = np.asarray(senders, np.int32)
+            r_np = np.asarray(receivers, np.int32)
+            host_coo = (s_np, r_np)
         senders = jnp.asarray(senders, dtype=jnp.int32)
         receivers = jnp.asarray(receivers, dtype=jnp.int32)
         if senders.shape != receivers.shape or senders.ndim != 1:
@@ -121,6 +134,8 @@ class GnnGraph:
         if num_nodes is None:
             if num_edges == 0:
                 num_nodes = 0
+            elif host_coo is not None:
+                num_nodes = int(max(host_coo[0].max(), host_coo[1].max()) + 1)
             else:
                 num_nodes = int(
                     max(int(jnp.max(senders)), int(jnp.max(receivers))) + 1
@@ -130,13 +145,21 @@ class GnnGraph:
         gdata = _normalize_features(gdata, num_graphs, GDATA_DEFAULT_KEY, "gdata")
         receivers_sorted = False
         if sort_by_receiver and num_edges > 0:
-            perm = jnp.argsort(receivers, stable=True)
-            senders = senders[perm]
-            receivers = receivers[perm]
+            if host_coo is not None:
+                perm_np = np.argsort(host_coo[1], kind="stable")
+                host_coo = (host_coo[0][perm_np], host_coo[1][perm_np])
+                senders = jnp.asarray(host_coo[0])
+                receivers = jnp.asarray(host_coo[1])
+                perm = jnp.asarray(perm_np)
+            else:
+                perm = jnp.argsort(receivers, stable=True)
+                senders = senders[perm]
+                receivers = receivers[perm]
             edata = {k: v[perm] for k, v in edata.items()}
             receivers_sorted = True
-        elif num_edges > 0 and not isinstance(receivers, jax.core.Tracer):
-            r = np.asarray(receivers)
+        elif num_edges > 0 and host_coo is not None:
+            # sortedness check only on host data — never a device→host read
+            r = host_coo[1]
             receivers_sorted = bool(np.all(r[1:] >= r[:-1]))
         if graph_indicator is not None:
             graph_indicator = jnp.asarray(graph_indicator, dtype=jnp.int32)
@@ -151,6 +174,7 @@ class GnnGraph:
             num_edges=num_edges,
             num_graphs=num_graphs,
             receivers_sorted=receivers_sorted,
+            host_coo=host_coo,
         )
 
     def replace(self, **kwargs) -> "GnnGraph":

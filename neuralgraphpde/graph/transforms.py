@@ -27,6 +27,11 @@ def add_self_loops(g: GnnGraph) -> GnnGraph:
     loop = jnp.arange(n, dtype=jnp.int32)
     senders = jnp.concatenate([g.senders, loop])
     receivers = jnp.concatenate([g.receivers, loop])
+    host_coo = None
+    if g.host_coo is not None:
+        loop_np = np.arange(n, dtype=np.int32)
+        host_coo = (np.concatenate([g.host_coo[0], loop_np]),
+                    np.concatenate([g.host_coo[1], loop_np]))
     return GnnGraph(
         senders=senders,
         receivers=receivers,
@@ -38,6 +43,7 @@ def add_self_loops(g: GnnGraph) -> GnnGraph:
         num_edges=g.num_edges + n,
         num_graphs=g.num_graphs,
         receivers_sorted=False,
+        host_coo=host_coo,
     )
 
 
@@ -73,10 +79,22 @@ def sort_by_receiver(g: GnnGraph) -> GnnGraph:
     """
     if g.receivers_sorted or g.num_edges == 0:
         return g
-    perm = jnp.argsort(g.receivers, stable=True)
+    host_coo = None
+    if g.host_coo is not None:
+        # permute on host to keep the no-device-read preprocessing path
+        s_np, r_np = g.host_coo
+        perm_np = np.argsort(r_np, kind="stable")
+        host_coo = (s_np[perm_np], r_np[perm_np])
+        senders = jnp.asarray(host_coo[0])
+        receivers = jnp.asarray(host_coo[1])
+        perm = jnp.asarray(perm_np)
+    else:
+        perm = jnp.argsort(g.receivers, stable=True)
+        senders = g.senders[perm]
+        receivers = g.receivers[perm]
     return GnnGraph(
-        senders=g.senders[perm],
-        receivers=g.receivers[perm],
+        senders=senders,
+        receivers=receivers,
         ndata=g.ndata,
         edata={k: v[perm] for k, v in g.edata.items()},
         gdata=g.gdata,
@@ -85,6 +103,7 @@ def sort_by_receiver(g: GnnGraph) -> GnnGraph:
         num_edges=g.num_edges,
         num_graphs=g.num_graphs,
         receivers_sorted=True,
+        host_coo=host_coo,
     )
 
 

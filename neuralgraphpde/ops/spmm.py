@@ -86,7 +86,10 @@ def precompute(
         )
 
         kw = dict(tn=tn or TN_DEFAULT, te=te or TE_DEFAULT)
-        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+        if g.host_coo is not None:
+            s, r = g.host_coo  # no device→host read
+        else:
+            s, r = np.asarray(g.senders), np.asarray(g.receivers)
         ew = None if edge_weight is None else np.asarray(edge_weight)
         cache["tcsr"] = build_tiled_csr(s, r, g.num_nodes, edge_weight=ew,
                                         **kw)

@@ -68,8 +68,11 @@ def partition_graph(
 ) -> PartitionedGraph:
     """Partition ``g`` by receiver into contiguous node blocks."""
     P = num_partitions
-    s = np.asarray(g.senders)
-    r = np.asarray(g.receivers)
+    if g.host_coo is not None:
+        s, r = g.host_coo  # no device→host read
+    else:
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
     N, E = g.num_nodes, g.num_edges
 
     npp = -(-N // P)  # nodes per partition (ceil)
