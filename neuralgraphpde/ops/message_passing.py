@@ -89,7 +89,27 @@ def aggregate_neighbors(
     messages: jax.Array,
 ) -> jax.Array:
     """Segment-reduce ``(num_edges, F)`` messages onto receiver nodes
-    (reference ``aggregate_neighbors``)."""
+    (reference ``aggregate_neighbors``).
+
+    Sum (and mean, via cached degree) aggregation routes through the Pallas
+    kernel when ``ops.precompute(g, pallas=True)`` attached an edge tiling.
+    """
+    red = canonical_reduction(aggr)
+    if (red in ("sum", "mean") and "tcsr_edges" in g.cache
+            and isinstance(messages, jax.Array) and messages.ndim == 2):
+        from .spmm import get_spmm_mode, segment_sum_pallas
+
+        if get_spmm_mode() in ("auto", "pallas"):
+            out = segment_sum_pallas(g, messages)
+            if red == "mean":
+                if "in_degree" in g.cache:
+                    deg = g.cache["in_degree"].astype(out.dtype)
+                else:
+                    deg = jax.ops.segment_sum(
+                        jnp.ones((g.num_edges,), out.dtype), g.receivers,
+                        g.num_nodes, indices_are_sorted=g.receivers_sorted)
+                out = out / jnp.maximum(deg, 1.0)[:, None]
+            return out
     return segment_reduce(
         messages, g.receivers, g.num_nodes, aggr,
         indices_are_sorted=g.receivers_sorted,

@@ -95,7 +95,20 @@ def precompute(
                                         **kw)
         cache["tcsr_rev"] = build_tiled_csr(r, s, g.num_nodes,
                                             edge_weight=ew, **kw)
+        # Edge-index tiling: lets ANY (num_edges, F) message tensor be
+        # segment-summed through the Pallas kernel (custom-message layers).
+        cache["tcsr_edges"] = build_tiled_csr(
+            np.arange(g.num_edges, dtype=np.int64), r, g.num_nodes, **kw)
     return g.copy(cache=cache)
+
+
+def segment_sum_pallas(g: GnnGraph, messages: jax.Array) -> jax.Array:
+    """Receiver segment-sum of per-edge messages via the Pallas kernel
+    (requires ``precompute(g, pallas=True)``)."""
+    from ..kernels.segment_kernels import tiled_segment_spmm
+
+    return tiled_segment_spmm(messages, g.cache["tcsr_edges"],
+                              None)[: g.num_nodes]
 
 
 def spmm_xla(g: GnnGraph, x: jax.Array,
