@@ -22,6 +22,7 @@ from .graph import (
     sort_by_receiver,
     csr_offsets,
     to_dense_adjacency,
+    from_dense_adjacency,
     batch,
     unbatch,
 )

@@ -14,6 +14,7 @@ from .transforms import (
     sort_by_receiver,
     csr_offsets,
     to_dense_adjacency,
+    from_dense_adjacency,
 )
 from .batch import batch, unbatch
 
@@ -21,5 +22,5 @@ __all__ = [
     "GnnGraph", "empty_graph", "rand_graph", "complete_digraph",
     "radius_graph", "knn_graph", "delaunay_graph", "grid_graph_1d",
     "grid_graph_2d", "add_self_loops", "degree", "sort_by_receiver",
-    "csr_offsets", "to_dense_adjacency", "batch", "unbatch",
+    "csr_offsets", "to_dense_adjacency", "from_dense_adjacency", "batch", "unbatch",
 ]

@@ -145,4 +145,24 @@ def to_dense_adjacency(
 
 
 def edges_numpy(g: GnnGraph) -> Tuple[np.ndarray, np.ndarray]:
+    if g.host_coo is not None:
+        return g.host_coo
     return np.asarray(g.senders), np.asarray(g.receivers)
+
+
+def from_dense_adjacency(adj: np.ndarray, **features) -> GnnGraph:
+    """COO graph from a dense adjacency matrix ``adj[r, s] != 0`` ⇒ edge
+    ``s -> r``; nonzero values become edge weights in ``edata['e']``.
+
+    The functional stand-in for the reference's ADJMAT-backed ``GNNGraph``
+    variant (reference src/layers.jl:204 checks ``GNNGraph{<:ADJMAT_T}``).
+    """
+    adj = np.asarray(adj)
+    r, s = np.nonzero(adj)
+    w = adj[r, s].astype(np.float32)
+    edata = dict(features.pop("edata", {}) or {})
+    if not np.all(w == 1.0):
+        edata["e"] = w.reshape(-1, 1)
+    return GnnGraph.from_coo(
+        s.astype(np.int32), r.astype(np.int32), num_nodes=adj.shape[0],
+        edata=edata or None, **features)

@@ -130,7 +130,12 @@ def build_tiled_csr(
 
 def _segment_kernel(chunk_tile_ref, xj_ref, recv_ref, wmask_ref, out_ref):
     """grid = (num_feature_tiles, num_chunks); chunks iterate fastest so the
-    output block stays resident across a tile's chunks."""
+    output block stays resident across a tile's chunks.
+
+    Layout note: recv/wmask blocks are (1, TE, 1) — TE on the sublane dim
+    keeps Mosaic's (8, 128)-divisibility rule satisfied; the one-hot matrix
+    is therefore built (TE, TN) and contracted over its sublane dim.
+    """
     c = pl.program_id(1)
 
     prev_tile = chunk_tile_ref[jnp.maximum(c, 1) - 1]
@@ -142,10 +147,14 @@ def _segment_kernel(chunk_tile_ref, xj_ref, recv_ref, wmask_ref, out_ref):
 
     tn = out_ref.shape[0]
     te = recv_ref.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tn, te), 0)
-    onehot = jnp.where(rows == recv_ref[0][None, :], wmask_ref[0][None, :], 0.0)
-    out_ref[:] += jnp.dot(onehot, xj_ref[0],
-                          preferred_element_type=jnp.float32)
+    recv = recv_ref[0]  # (TE, 1)
+    w = wmask_ref[0]  # (TE, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
+    onehot = jnp.where(cols == recv, w, 0.0)  # (TE, TN)
+    out_ref[:] += jax.lax.dot_general(
+        onehot, xj_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -165,14 +174,16 @@ def _tiled_segment_spmm_fwd(tcsr: TiledCSR, x: jax.Array,
     n_ft = Fp // tf
 
     xj = jnp.take(x, tcsr.senders.reshape(-1), axis=0).reshape(C, te, Fp)
+    recv3 = tcsr.recv_local.reshape(C, te, 1)
+    wmask3 = tcsr.wmask.reshape(C, te, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ft, C),
         in_specs=[
             pl.BlockSpec((1, te, tf), lambda f, c, ct: (c, 0, f)),
-            pl.BlockSpec((1, te), lambda f, c, ct: (c, 0)),
-            pl.BlockSpec((1, te), lambda f, c, ct: (c, 0)),
+            pl.BlockSpec((1, te, 1), lambda f, c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, te, 1), lambda f, c, ct: (c, 0, 0)),
         ],
         out_specs=pl.BlockSpec((tcsr.tn, tf), lambda f, c, ct: (ct[c], f)),
     )
@@ -182,7 +193,7 @@ def _tiled_segment_spmm_fwd(tcsr: TiledCSR, x: jax.Array,
         out_shape=jax.ShapeDtypeStruct((tcsr.num_tiles * tcsr.tn, Fp),
                                        jnp.float32),
         interpret=interpret,
-    )(tcsr.chunk_tile, xj, tcsr.recv_local, tcsr.wmask)
+    )(tcsr.chunk_tile, xj, recv3, wmask3)
     out = out[:, :F] if Fp != F else out
     return out.astype(x.dtype)
 

@@ -70,13 +70,31 @@ def fit(
     eval_fn: Optional[Callable] = None,
     logger: Optional[MetricsLogger] = None,
     log_every: int = 1,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> TrainState:
     """Generic fit: ``batches`` is an iterable (re-iterated per epoch) of
-    argument tuples passed to ``loss_fn(params, *batch)``."""
+    argument tuples passed to ``loss_fn(params, *batch)``.
+
+    With ``checkpoint_dir`` set, ``(params, opt_state, step)`` are persisted
+    every ``checkpoint_every`` epochs (and at the end); ``resume=True``
+    restarts from the latest checkpoint — the standard restart-from-checkpoint
+    failure-recovery scheme (SURVEY §5.3: fixed mesh, no elasticity).
+    """
     opt_state = optimizer.init(params)
+    step = 0
+    if resume and checkpoint_dir:
+        from .checkpoint import latest_step, restore_checkpoint
+
+        if latest_step(checkpoint_dir) is not None:
+            payload = restore_checkpoint(
+                checkpoint_dir,
+                {"params": params, "opt_state": opt_state, "step": 0})
+            params, opt_state = payload["params"], payload["opt_state"]
+            step = int(payload["step"])
     train_step = make_train_step(loss_fn, optimizer, donate=False)
     logger = logger or MetricsLogger()
-    step = 0
     for epoch in range(epochs):
         for batch in batches:
             params, opt_state, loss, _ = train_step(params, opt_state, *batch)
@@ -86,4 +104,13 @@ def fit(
             if eval_fn is not None:
                 metrics.update(eval_fn(params))
             logger.log(step, **metrics)
+        if checkpoint_dir and checkpoint_every and \
+                (epoch + 1) % checkpoint_every == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, params, opt_state, step)
+    if checkpoint_dir:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint_dir, params, opt_state, step)
     return TrainState(params=params, opt_state=opt_state, step=step)

@@ -1,0 +1,53 @@
+"""Training-infrastructure tests: optimizers, fit loop, checkpoint/resume,
+debug utilities."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralgraphpde.train import adam, fit, make_train_step, rprop
+from neuralgraphpde.utils.debug import finite_or_zero, global_norm
+
+
+def quad_loss(params, target):
+    return jnp.sum((params["w"] - target) ** 2)
+
+
+def test_rprop_descends():
+    params = {"w": jnp.asarray([5.0, -3.0])}
+    target = jnp.asarray([1.0, 1.0])
+    opt = rprop(0.1)
+    opt_state = opt.init(params)
+    step = make_train_step(quad_loss, opt, donate=False)
+    losses = []
+    for _ in range(50):
+        params, opt_state, loss, _ = step(params, opt_state, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 1e-2
+
+
+def test_fit_with_checkpoint_resume():
+    target = jnp.asarray([2.0])
+    batches = [(target,)]
+    with tempfile.TemporaryDirectory() as d:
+        params = {"w": jnp.asarray([0.0])}
+        state = fit(quad_loss, params, adam(0.1), batches, epochs=5,
+                    checkpoint_dir=d, checkpoint_every=2)
+        assert state.step == 5
+        # resume continues from saved step
+        state2 = fit(quad_loss, {"w": jnp.asarray([0.0])}, adam(0.1),
+                     batches, epochs=3, checkpoint_dir=d, resume=True)
+        assert state2.step == 8
+        # resumed run continues descending from the restored point
+        assert float(state2.params["w"][0]) > float(state.params["w"][0])
+
+
+def test_debug_utils():
+    t = {"a": jnp.asarray([1.0, jnp.inf, jnp.nan])}
+    clean = finite_or_zero(t)
+    assert np.allclose(np.asarray(clean["a"]), [1.0, 0.0, 0.0])
+    n = float(global_norm({"a": jnp.asarray([3.0, 4.0])}))
+    assert abs(n - 5.0) < 1e-6
