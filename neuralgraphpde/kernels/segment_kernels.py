@@ -34,6 +34,18 @@ TN_DEFAULT = 256
 TE_DEFAULT = 512
 TF_MAX = 512
 
+# Kernel compute dtype for the gathered operand and one-hot factor.
+# bfloat16 halves the dominant HBM traffic (gather + chunk streams);
+# accumulation stays float32 (MXU preferred_element_type).
+_COMPUTE_DTYPE = None  # None -> follow input dtype
+
+
+def set_kernel_compute_dtype(dtype) -> None:
+    """Set to jnp.bfloat16 to halve kernel HBM traffic (f32 accumulate);
+    None restores input-dtype compute."""
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -157,10 +169,15 @@ def _segment_kernel(chunk_tile_ref, xj_ref, recv_ref, wmask_ref, out_ref):
         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "compute_dtype"))
 def _tiled_segment_spmm_fwd(tcsr: TiledCSR, x: jax.Array,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            compute_dtype=None) -> jax.Array:
     """out (num_tiles*tn, F) = scatter-sum of weighted x[senders]."""
+    out_dtype = x.dtype
+    cd = compute_dtype if compute_dtype is not None else _COMPUTE_DTYPE
+    if cd is not None:
+        x = x.astype(cd)
     C, te = tcsr.senders.shape
     F = x.shape[1]
     tf = F if F <= TF_MAX else 256
@@ -175,7 +192,7 @@ def _tiled_segment_spmm_fwd(tcsr: TiledCSR, x: jax.Array,
 
     xj = jnp.take(x, tcsr.senders.reshape(-1), axis=0).reshape(C, te, Fp)
     recv3 = tcsr.recv_local.reshape(C, te, 1)
-    wmask3 = tcsr.wmask.reshape(C, te, 1)
+    wmask3 = tcsr.wmask.astype(x.dtype).reshape(C, te, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -195,7 +212,7 @@ def _tiled_segment_spmm_fwd(tcsr: TiledCSR, x: jax.Array,
         interpret=interpret,
     )(tcsr.chunk_tile, xj, recv3, wmask3)
     out = out[:, :F] if Fp != F else out
-    return out.astype(x.dtype)
+    return out.astype(out_dtype)
 
 
 def _zeros_like_tree(tree):

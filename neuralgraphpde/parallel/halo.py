@@ -35,11 +35,32 @@ def make_mesh(num_devices: Optional[int] = None,
 
 def _local_spmm_block(x_block, senders_g, recv_l, emask, npp,
                       axis_name=GRAPH_AXIS):
-    """Per-device body: gather senders from the all-gathered table, mask
-    padding, segment-sum onto owned receivers. Shapes inside shard_map carry
-    a leading singleton device axis for the partition-major arrays."""
+    """Per-device body (all-gather variant): gather senders from the
+    all-gathered table, mask padding, segment-sum onto owned receivers.
+    Shapes inside shard_map carry a leading singleton device axis for the
+    partition-major arrays."""
     x_full = jax.lax.all_gather(x_block, axis_name, axis=0, tiled=True)
     xj = jnp.take(x_full, senders_g[0], axis=0) * emask[0]
+    return jax.ops.segment_sum(
+        xj, recv_l[0], num_segments=npp, indices_are_sorted=True)
+
+
+def _halo_table(x_block, send_idx_p, axis_name=GRAPH_AXIS):
+    """Targeted halo exchange: each device sends only the boundary rows its
+    peers reference. Returns the local+halo row table
+    ``[x_local; rows from dev 0; rows from dev 1; ...]`` matching the
+    ``senders_halo`` remapping built at partition time."""
+    send_rows = jnp.take(x_block, send_idx_p[0], axis=0)  # (P, H, F)
+    recv = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
+                              concat_axis=0, tiled=False)
+    return jnp.concatenate(
+        [x_block, recv.reshape(-1, x_block.shape[-1])], axis=0)
+
+
+def _local_spmm_block_halo(x_block, senders_h, recv_l, emask, send_idx_p,
+                           npp, axis_name=GRAPH_AXIS):
+    table = _halo_table(x_block, send_idx_p, axis_name)
+    xj = jnp.take(table, senders_h[0], axis=0) * emask[0]
     return jax.ops.segment_sum(
         xj, recv_l[0], num_segments=npp, indices_are_sorted=True)
 
@@ -53,9 +74,25 @@ def sharded_spmm(
     """Distributed ``out[i] = Σ_{j→i} x[j]`` over row-sharded features.
 
     ``x``: (padded_nodes, F) sharded ``P(axis_name, None)``. Returns the same
-    sharding.
+    sharding. Uses the targeted all_to_all halo when the partition carries
+    the metadata; all_gather otherwise.
     """
     npp = pg.nodes_per_part
+
+    if pg.senders_halo is not None:
+        def body(x_block, senders_h, recv_l, emask, send_idx):
+            return _local_spmm_block_halo(x_block, senders_h, recv_l, emask,
+                                          send_idx, npp, axis_name)
+
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None), P(axis_name, None, None),
+                      P(axis_name, None, None)),
+            out_specs=P(axis_name, None),
+        )
+        return f(x, pg.senders_halo, pg.receivers_local, pg.edge_mask,
+                 pg.send_idx)
 
     def body(x_block, senders_g, recv_l, emask):
         return _local_spmm_block(x_block, senders_g, recv_l, emask, npp,
@@ -89,8 +126,9 @@ def sharded_gcn_forward(
     """
     in_dims, out_dims = weight.shape
     npp = pg.nodes_per_part
+    use_halo = pg.senders_halo is not None
 
-    def body(x_block, senders_g, recv_l, emask, deg, nmask):
+    def body(x_block, senders, recv_l, emask, deg, nmask, *rest):
         deg = deg[0]
         c = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-30)),
                       0.0)[:, None]
@@ -98,7 +136,11 @@ def sharded_gcn_forward(
         if out_dims < in_dims:
             h = jnp.dot(h, weight, preferred_element_type=h.dtype)
         h = h * c
-        agg = _local_spmm_block(h, senders_g, recv_l, emask, npp, axis_name)
+        if use_halo:
+            agg = _local_spmm_block_halo(h, senders, recv_l, emask, rest[0],
+                                         npp, axis_name)
+        else:
+            agg = _local_spmm_block(h, senders, recv_l, emask, npp, axis_name)
         agg = agg * c
         if out_dims >= in_dims:
             agg = jnp.dot(agg, weight, preferred_element_type=agg.dtype)
@@ -106,11 +148,20 @@ def sharded_gcn_forward(
             agg = agg + bias
         return activation(agg) * nmask[0]
 
+    base_specs = (P(axis_name, None), P(axis_name, None), P(axis_name, None),
+                  P(axis_name, None, None), P(axis_name, None),
+                  P(axis_name, None, None))
+    if use_halo:
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=base_specs + (P(axis_name, None, None),),
+            out_specs=P(axis_name, None),
+        )
+        return f(x, pg.senders_halo, pg.receivers_local, pg.edge_mask,
+                 pg.in_degree, pg.node_mask, pg.send_idx)
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
-                  P(axis_name, None, None), P(axis_name, None),
-                  P(axis_name, None, None)),
+        in_specs=base_specs,
         out_specs=P(axis_name, None),
     )
     return f(x, pg.senders_global, pg.receivers_local, pg.edge_mask,

@@ -43,6 +43,15 @@ class PartitionedGraph:
     nodes_per_part: int
     num_nodes: int  # true (unpadded) node count
     num_edges: int  # true edge count
+    # --- targeted halo exchange (optional; built by partition_graph when
+    # halo=True). For device p:
+    #   send_idx[p, q, h]   — local row index p must send to q (0-padded)
+    #   senders_halo[p, e]  — sender remapped into p's local+halo table:
+    #                         own rows at [0, npp); row from peer q, slot h at
+    #                         npp + q*H + h
+    halo_size: int = 0  # H (max rows any device sends any peer)
+    send_idx: Optional[jax.Array] = None  # (P, P, H) int32
+    senders_halo: Optional[jax.Array] = None  # (P, E_max) int32
 
     @property
     def padded_nodes(self) -> int:
@@ -50,14 +59,19 @@ class PartitionedGraph:
 
     def tree_flatten(self):
         children = (self.senders_global, self.receivers_local, self.edge_mask,
-                    self.in_degree, self.node_mask)
+                    self.in_degree, self.node_mask, self.send_idx,
+                    self.senders_halo)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
-               self.num_edges)
+               self.num_edges, self.halo_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        (senders_global, receivers_local, edge_mask, in_degree, node_mask,
+         send_idx, senders_halo) = children
+        P, npp, n, e, h = aux
+        return cls(senders_global, receivers_local, edge_mask, in_degree,
+                   node_mask, P, npp, n, e, h, send_idx, senders_halo)
 
 
 def partition_graph(
@@ -65,8 +79,16 @@ def partition_graph(
     num_partitions: int,
     *,
     pad_edges_to_multiple: int = 128,
+    halo: bool = True,
+    pad_halo_to_multiple: int = 8,
 ) -> PartitionedGraph:
-    """Partition ``g`` by receiver into contiguous node blocks."""
+    """Partition ``g`` by receiver into contiguous node blocks.
+
+    With ``halo=True`` (default) the targeted-exchange metadata is built:
+    each device sends only the boundary rows its peers' edges reference
+    (all_to_all halo) instead of all-gathering every node row. For spatially
+    ordered meshes the halo volume is a small fraction of the node count.
+    """
     P = num_partitions
     if g.host_coo is not None:
         s, r = g.host_coo  # no device→host read
@@ -101,6 +123,51 @@ def partition_graph(
     flat = np.arange(P * npp)
     nmask.reshape(-1)[flat < N] = 1.0
 
+    halo_size = 0
+    send_idx = None
+    senders_halo = None
+    if halo:
+        # For each (owner p -> needer q) pair: unique sender rows q's edges
+        # reference that p owns. Self-pairs are empty (own rows are local).
+        needed = [[np.zeros(0, np.int64) for _ in range(P)] for _ in range(P)]
+        for q in range(P):
+            lo, hi = offsets[q], offsets[q + 1]
+            sq = s_sorted[lo:hi]
+            owners = sq // npp
+            for p in range(P):
+                if p == q:
+                    continue
+                rows = np.unique(sq[owners == p])
+                needed[p][q] = rows
+        H = max((len(needed[p][q]) for p in range(P) for q in range(P)),
+                default=0)
+        H = max(-(-max(H, 1) // pad_halo_to_multiple) * pad_halo_to_multiple,
+                pad_halo_to_multiple)
+        halo_size = H
+        send_idx = np.zeros((P, P, H), np.int32)
+        # global sender id -> halo-table slot, per needer q
+        slot_maps = [dict() for _ in range(P)]
+        for p in range(P):
+            for q in range(P):
+                rows = needed[p][q]
+                if len(rows) > H:
+                    raise ValueError("halo overflow (increase padding)")
+                send_idx[p, q, :len(rows)] = rows - p * npp
+                for h, gid in enumerate(rows):
+                    slot_maps[q][int(gid)] = npp + p * H + h
+        senders_halo = np.zeros((P, e_max), np.int32)
+        for q in range(P):
+            lo, hi = offsets[q], offsets[q + 1]
+            n = hi - lo
+            sq = s_sorted[lo:hi]
+            local = sq - q * npp
+            remote = np.asarray([slot_maps[q].get(int(gid), 0)
+                                 for gid in sq], np.int32)
+            own = (sq // npp) == q
+            senders_halo[q, :n] = np.where(own, local, remote)
+        send_idx = jnp.asarray(send_idx)
+        senders_halo = jnp.asarray(senders_halo)
+
     return PartitionedGraph(
         senders_global=jnp.asarray(senders_g),
         receivers_local=jnp.asarray(recv_l),
@@ -111,6 +178,9 @@ def partition_graph(
         nodes_per_part=npp,
         num_nodes=N,
         num_edges=E,
+        halo_size=halo_size,
+        send_idx=send_idx,
+        senders_halo=senders_halo,
     )
 
 

@@ -130,3 +130,21 @@ def test_aggregate_neighbors_pallas_path():
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(aggregate_neighbors(gp, aggr, msgs))
         assert np.allclose(got, want, atol=1e-4), aggr
+
+
+def test_bf16_compute_dtype_interpret():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    n, e, f = 40, 200, 16
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    tcsr = build_tiled_csr(s, r, n, tn=8, te=32)
+    got = np.asarray(_tiled_segment_spmm_fwd(
+        tcsr, jnp.asarray(x), interpret=True,
+        compute_dtype=jnp.bfloat16))[:n]
+    want = ref_spmm(s, r, np.ones(e), x, n)
+    # bf16 inputs: ~1e-2 relative tolerance
+    assert np.allclose(got, want, atol=0.15, rtol=0.05)
+    assert got.dtype == np.float32
