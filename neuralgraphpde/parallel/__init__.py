@@ -9,6 +9,7 @@ from .halo import (
     make_mesh,
     sharded_spmm,
     sharded_gcn_forward,
+    sharded_propagate,
     shard_node_features,
     replicate,
 )
@@ -17,6 +18,6 @@ from .layers import ShardedGCNConv, sharded_grand_model
 __all__ = [
     "PartitionedGraph", "partition_graph", "pad_node_features",
     "unpad_node_features", "GRAPH_AXIS", "make_mesh", "sharded_spmm",
-    "sharded_gcn_forward", "shard_node_features", "replicate",
+    "sharded_gcn_forward", "sharded_propagate", "shard_node_features", "replicate",
     "ShardedGCNConv", "sharded_grand_model",
 ]

@@ -168,6 +168,55 @@ def sharded_gcn_forward(
              pg.in_degree, pg.node_mask)
 
 
+def sharded_propagate(
+    pg: PartitionedGraph,
+    message,
+    x: jax.Array,
+    mesh: Mesh,
+    *,
+    aggr: str = "sum",
+    axis_name: str = GRAPH_AXIS,
+) -> jax.Array:
+    """Distributed custom-message propagate over an edge-partitioned graph.
+
+    ``message(xi, xj, e)`` receives edge-expanded arrays (xi from local
+    receiver rows, xj through the targeted halo table, e a dict of
+    per-partition edge features) and returns per-edge messages, which are
+    masked and segment-reduced onto owned receivers. Requires a ``halo=True``
+    partition. The distributed generalization of ``ops.propagate`` for the
+    custom-message layers (ExplicitEdgeConv/VMHConv/MPPDEConv/GNOConv).
+    """
+    if pg.senders_halo is None:
+        raise ValueError("sharded_propagate requires partition_graph(halo=True)")
+    if aggr not in ("sum", "mean"):
+        raise ValueError("distributed aggr supports 'sum'/'mean'")
+    npp = pg.nodes_per_part
+    ekeys = sorted(pg.edata)
+
+    def body(x_block, senders_h, recv_l, emask, send_idx, deg, *eblocks):
+        table = _halo_table(x_block, send_idx, axis_name)
+        xj = jnp.take(table, senders_h[0], axis=0)
+        xi = jnp.take(x_block, recv_l[0], axis=0)
+        e = {k: b[0] for k, b in zip(ekeys, eblocks)}
+        m = message(xi, xj, e) * emask[0]
+        out = jax.ops.segment_sum(m, recv_l[0], num_segments=npp,
+                                  indices_are_sorted=True)
+        if aggr == "mean":
+            out = out / jnp.maximum(deg[0], 1.0)[:, None]
+        return out
+
+    espec = tuple(P(axis_name, None, None) for _ in ekeys)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
+                  P(axis_name, None, None), P(axis_name, None, None),
+                  P(axis_name, None)) + espec,
+        out_specs=P(axis_name, None),
+    )
+    return f(x, pg.senders_halo, pg.receivers_local, pg.edge_mask,
+             pg.send_idx, pg.in_degree, *[pg.edata[k] for k in ekeys])
+
+
 def shard_node_features(x, pg: PartitionedGraph, mesh: Mesh,
                         axis_name: str = GRAPH_AXIS):
     """Place (padded_nodes, F) features row-sharded on the mesh."""

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph.gnngraph import GnnGraph
+from ..graph.gnngraph import FeatureDict, GnnGraph
 
 
 @jax.tree_util.register_pytree_node_class
@@ -52,6 +52,8 @@ class PartitionedGraph:
     halo_size: int = 0  # H (max rows any device sends any peer)
     send_idx: Optional[jax.Array] = None  # (P, P, H) int32
     senders_halo: Optional[jax.Array] = None  # (P, E_max) int32
+    # per-partition edge features (P, E_max, F), permuted like the edges
+    edata: FeatureDict = dataclasses.field(default_factory=dict)
 
     @property
     def padded_nodes(self) -> int:
@@ -60,7 +62,7 @@ class PartitionedGraph:
     def tree_flatten(self):
         children = (self.senders_global, self.receivers_local, self.edge_mask,
                     self.in_degree, self.node_mask, self.send_idx,
-                    self.senders_halo)
+                    self.senders_halo, self.edata)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
                self.num_edges, self.halo_size)
         return children, aux
@@ -68,10 +70,11 @@ class PartitionedGraph:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (senders_global, receivers_local, edge_mask, in_degree, node_mask,
-         send_idx, senders_halo) = children
+         send_idx, senders_halo, edata) = children
         P, npp, n, e, h = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
-                   node_mask, P, npp, n, e, h, send_idx, senders_halo)
+                   node_mask, P, npp, n, e, h, send_idx, senders_halo,
+                   dict(edata))
 
 
 def partition_graph(
@@ -116,6 +119,16 @@ def partition_graph(
         senders_g[p, :n] = s_sorted[lo:hi]
         recv_l[p, :n] = r_sorted[lo:hi] - p * npp
         emask[p, :n] = 1.0
+
+    # per-partition edge features, permuted/padded like the edge arrays
+    edata = {}
+    for key, val in g.edata.items():
+        val = np.asarray(val)
+        blk = np.zeros((P, e_max) + val.shape[1:], val.dtype)
+        for p in range(P):
+            lo, hi = offsets[p], offsets[p + 1]
+            blk[p, : hi - lo] = val[order[lo:hi]]
+        edata[key] = jnp.asarray(blk)
 
     deg = np.bincount(r, minlength=P * npp).astype(np.float32)
     in_degree = deg.reshape(P, npp)
@@ -181,6 +194,7 @@ def partition_graph(
         halo_size=halo_size,
         send_idx=send_idx,
         senders_halo=senders_halo,
+        edata=edata,
     )
 
 

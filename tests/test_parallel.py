@@ -168,3 +168,32 @@ def test_halo_volume_small_for_spatial_graph(mesh):
     g = grid_graph_2d(40, 40)  # row-major ordering = spatial locality
     pg = partition_graph(g, NDEV, halo=True)
     assert pg.halo_size < pg.nodes_per_part / 2
+
+
+def test_sharded_propagate_custom_message(mesh):
+    """Distributed custom-message propagate (VMH-style difference message
+    with edge features) vs single-device ops.propagate."""
+    from neuralgraphpde.ops import propagate
+    from neuralgraphpde.parallel import sharded_propagate
+
+    rng = np.random.default_rng(11)
+    g = rand_graph(64, 400, seed=11,
+                   edata={"w": rng.normal(size=(400, 3)).astype(np.float32)})
+    x = rng.normal(size=(64, 6)).astype(np.float32)
+
+    pg = partition_graph(g, NDEV, halo=True)
+
+    def message_single(xi, xj, e):
+        return jnp.concatenate([xj - xi, e["w"]], axis=-1)
+
+    want = np.asarray(propagate(message_single, g, "mean",
+                                xi=jnp.asarray(x), xj=jnp.asarray(x),
+                                e=g.edata))
+
+    def message_dist(xi, xj, e):
+        return jnp.concatenate([xj - xi, e["w"]], axis=-1)
+
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+    got = np.asarray(sharded_propagate(pg, message_dist, xp, mesh,
+                                       aggr="mean"))[: g.num_nodes]
+    assert np.allclose(got, want, atol=1e-5)
