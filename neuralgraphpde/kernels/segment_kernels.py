@@ -162,9 +162,11 @@ def _segment_kernel(chunk_tile_ref, xj_ref, recv_ref, wmask_ref, out_ref):
     recv = recv_ref[0]  # (TE, 1)
     w = wmask_ref[0]  # (TE, 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
-    onehot = jnp.where(cols == recv, w, 0.0)  # (TE, TN)
+    onehot = jnp.where(cols == recv, w, 0.0)  # (TE, TN) f32
+    xj = xj_ref[0]
+    onehot = onehot.astype(xj.dtype)
     out_ref[:] += jax.lax.dot_general(
-        onehot, xj_ref[0],
+        onehot, xj,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -192,7 +194,9 @@ def _tiled_segment_spmm_fwd(tcsr: TiledCSR, x: jax.Array,
 
     xj = jnp.take(x, tcsr.senders.reshape(-1), axis=0).reshape(C, te, Fp)
     recv3 = tcsr.recv_local.reshape(C, te, 1)
-    wmask3 = tcsr.wmask.astype(x.dtype).reshape(C, te, 1)
+    # wmask stays f32 regardless of compute dtype (narrow bf16 (TE,1) blocks
+    # crash the Mosaic compiler); the one-hot is cast after construction.
+    wmask3 = tcsr.wmask.reshape(C, te, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

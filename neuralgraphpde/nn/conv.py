@@ -354,7 +354,14 @@ class SpectralConv(AbstractGNNLayer):
         g = complete_digraph(self.n)
         x = jnp.linspace(0.0, 2.0 * jnp.pi, self.n + 1)[1:]
         diff = x[g.receivers] - x[g.senders]
-        g = g.replace(edata={"e": diff.reshape(-1, 1)})
+        # The message coefficient depends only on the (static) stencil, so it
+        # is precomputed here and the forward rides the e_mul_xj SpMM fast
+        # path — no per-solver-stage transcendentals (TPU-first deviation
+        # from the reference's in-message trig, src/layers.jl:654).
+        coef = (jnp.cos(diff * self.n / 2)
+                * (jnp.cos(diff / 2) / jnp.sin(diff / 2)) / 2)
+        g = g.replace(edata={"e": diff.reshape(-1, 1),
+                             "coef": coef.reshape(-1, 1)})
         return {"graph": g}
 
     def initialparameters(self, rng):
@@ -365,12 +372,18 @@ class SpectralConv(AbstractGNNLayer):
         if vector_in:
             x = x.reshape(-1, 1)
         g: GnnGraph = st["graph"]
-        e = g.edata["e"]
+        if "coef" in g.edata:
+            y = propagate(e_mul_xj, g, "sum", xj=x,
+                          e=g.edata["coef"].astype(x.dtype))
+        else:
+            # graph swapped in via update_graph without the cached
+            # coefficient: reference-faithful in-message trig
+            e = g.edata["e"]
 
-        def message(xi, xj, e_feat):
-            coef = (jnp.cos(e_feat * self.n / 2)
-                    * (jnp.cos(e_feat / 2) / jnp.sin(e_feat / 2)) / 2)
-            return coef * xj
+            def message(xi, xj, e_feat):
+                coef = (jnp.cos(e_feat * self.n / 2)
+                        * (jnp.cos(e_feat / 2) / jnp.sin(e_feat / 2)) / 2)
+                return coef * xj
 
-        y = propagate(message, g, "sum", xj=x, e=e.astype(x.dtype))
+            y = propagate(message, g, "sum", xj=x, e=e.astype(x.dtype))
         return (y.reshape(-1) if vector_in else y), st
