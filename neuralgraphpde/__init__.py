@@ -23,6 +23,7 @@ from .graph import (
     csr_offsets,
     to_dense_adjacency,
     from_dense_adjacency,
+    pad_graph,
     batch,
     unbatch,
 )

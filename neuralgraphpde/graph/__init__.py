@@ -15,6 +15,7 @@ from .transforms import (
     csr_offsets,
     to_dense_adjacency,
     from_dense_adjacency,
+    pad_graph,
 )
 from .batch import batch, unbatch
 
@@ -22,5 +23,5 @@ __all__ = [
     "GnnGraph", "empty_graph", "rand_graph", "complete_digraph",
     "radius_graph", "knn_graph", "delaunay_graph", "grid_graph_1d",
     "grid_graph_2d", "add_self_loops", "degree", "sort_by_receiver",
-    "csr_offsets", "to_dense_adjacency", "from_dense_adjacency", "batch", "unbatch",
+    "csr_offsets", "to_dense_adjacency", "from_dense_adjacency", "pad_graph", "batch", "unbatch",
 ]

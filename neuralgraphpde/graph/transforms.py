@@ -144,6 +144,57 @@ def to_dense_adjacency(
     return dense.reshape(n, n)
 
 
+def pad_graph(g: GnnGraph, max_nodes: int, max_edges: int) -> GnnGraph:
+    """Pad structure to static ``(max_nodes, max_edges)`` capacities.
+
+    Per-batch graph swapping (``update_graph``, reference VMH.md:134) under
+    ``jit`` retraces whenever array shapes change; padding every graph of a
+    dataset to one bucket keeps shapes static so the compiled step is reused
+    (SURVEY §7 "hard parts"). Padding edges connect padding nodes only, so
+    real-node aggregations are untouched; padded feature rows are zero.
+    Slice outputs back with ``[:g_true_num_nodes]`` (or mask) downstream.
+    """
+    if max_nodes < g.num_nodes or max_edges < g.num_edges:
+        raise ValueError(
+            f"graph ({g.num_nodes} nodes, {g.num_edges} edges) exceeds pad "
+            f"bucket ({max_nodes}, {max_edges})")
+    if max_nodes == g.num_nodes and max_edges == g.num_edges:
+        return g
+    if max_nodes == g.num_nodes and max_edges > g.num_edges:
+        raise ValueError("edge padding requires at least one padding node")
+    pad_e = max_edges - g.num_edges
+    pad_n = max_nodes - g.num_nodes
+    pad_target = jnp.full((pad_e,), g.num_nodes, jnp.int32)  # first pad node
+    senders = jnp.concatenate([g.senders, pad_target])
+    receivers = jnp.concatenate([g.receivers, pad_target])
+    host_coo = None
+    if g.host_coo is not None:
+        pt = np.full((pad_e,), g.num_nodes, np.int32)
+        host_coo = (np.concatenate([g.host_coo[0], pt]),
+                    np.concatenate([g.host_coo[1], pt]))
+
+    def pad_rows(arr, count):
+        return jnp.concatenate(
+            [arr, jnp.zeros((count,) + arr.shape[1:], arr.dtype)], axis=0)
+
+    gi = g.graph_indicator
+    if gi is not None:
+        gi = jnp.concatenate([gi, jnp.zeros((pad_n,), jnp.int32)])
+    return GnnGraph(
+        senders=senders,
+        receivers=receivers,
+        ndata={k: pad_rows(v, pad_n) for k, v in g.ndata.items()},
+        edata={k: pad_rows(v, pad_e) for k, v in g.edata.items()},
+        gdata=g.gdata,
+        graph_indicator=gi,
+        num_nodes=max_nodes,
+        num_edges=max_edges,
+        num_graphs=g.num_graphs,
+        receivers_sorted=g.receivers_sorted,  # pad receivers are max id
+        host_coo=host_coo,
+    )
+
+
 def edges_numpy(g: GnnGraph) -> Tuple[np.ndarray, np.ndarray]:
     if g.host_coo is not None:
         return g.host_coo

@@ -163,8 +163,9 @@ def _segment_kernel(chunk_tile_ref, xj_ref, recv_ref, wmask_ref, out_ref):
     w = wmask_ref[0]  # (TE, 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
     onehot = jnp.where(cols == recv, w, 0.0)  # (TE, TN) f32
-    xj = xj_ref[0]
-    onehot = onehot.astype(xj.dtype)
+    # A bf16 compute dtype halves the gather's HBM traffic; the MXU input is
+    # widened back to f32 in VMEM (cheap) — full-precision accumulation.
+    xj = xj_ref[0].astype(jnp.float32)
     out_ref[:] += jax.lax.dot_general(
         onehot, xj,
         dimension_numbers=(((0,), (0,)), ((), ())),

@@ -247,6 +247,11 @@ class MPPDEConv(AbstractGNNContainerLayer):
     def __call__(self, x, ps, st):
         g: GnnGraph = st["graph"]
         N, E, G = g.num_nodes, g.num_edges, g.num_graphs
+        if N % G or E % G:
+            raise ValueError(
+                "MPPDEConv's θ broadcast needs identically-structured graphs "
+                f"in a batch (N={N}, E={E}, num_graphs={G}); see reference "
+                "docs/src/index.md:66")
         s, e = g.ndata, g.edata
         theta = jax.lax.stop_gradient(_values_cat(g.gdata, x, G))
         st_cell = {"phi": st["phi"]}

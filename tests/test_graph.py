@@ -162,3 +162,41 @@ def test_batch_unbatch():
 def test_empty_graph():
     g = empty_graph()
     assert g.num_nodes == 0 and g.num_edges == 0
+
+
+def test_pad_graph_preserves_aggregation():
+    from neuralgraphpde import GCNConv, pad_graph, setup, spmm, update_graph
+
+    g = GnnGraph.from_coo(S, T, ndata={"x": np.random.randn(3, 2).astype(np.float32)})
+    gp = pad_graph(g, 8, 16)
+    assert gp.num_nodes == 8 and gp.num_edges == 16
+    x = np.random.randn(3, 4).astype(np.float32)
+    xp = np.concatenate([x, np.zeros((5, 4), np.float32)])
+    want = np.asarray(spmm(g, jnp.asarray(x)))
+    got = np.asarray(spmm(gp, jnp.asarray(xp)))
+    assert np.allclose(got[:3], want, atol=1e-6)
+    # padded buckets share one compiled step across different true sizes
+    l = GCNConv(4, 4)
+    ps, st = setup(jax.random.PRNGKey(0), l)
+    traces = []
+
+    @jax.jit
+    def fwd(x, st):
+        traces.append(1)
+        y, _ = l(x, ps, st)
+        return y
+
+    for seed in (0, 1):
+        g2 = rand_graph(5 + seed, 6 + seed, seed=seed)
+        g2p = pad_graph(g2, 8, 16)
+        fwd(jnp.asarray(np.random.randn(8, 4).astype(np.float32)),
+            update_graph(st, g2p))
+    assert len(traces) == 1  # no retrace across bucket members
+
+
+def test_pad_graph_validation():
+    import pytest as _pytest
+    g = tiny()
+    with _pytest.raises(ValueError):
+        pad_graph_mod = __import__("neuralgraphpde").pad_graph
+        pad_graph_mod(g, 2, 10)
