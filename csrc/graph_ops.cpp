@@ -86,6 +86,19 @@ int ngp_tiled_csr_build(int64_t num_edges, int64_t num_nodes,
   std::vector<int64_t> tile_counts(num_tiles, 0);
   for (int64_t e = 0; e < num_edges; ++e) tile_counts[receivers[e] / tn]++;
 
+  // Within each receiver tile, order edges by sender: tile membership is all
+  // correctness needs, and sender-sorted chunks give the feature gather
+  // near-sequential HBM access.
+  {
+    int64_t lo = 0;
+    for (int64_t t = 0; t < num_tiles; ++t) {
+      int64_t hi = lo + tile_counts[t];
+      std::sort(perm.begin() + lo, perm.begin() + hi,
+                [&](int64_t a, int64_t b) { return senders[a] < senders[b]; });
+      lo = hi;
+    }
+  }
+
   int64_t c = 0, pos = 0;
   for (int64_t t = 0; t < num_tiles; ++t) {
     int64_t remaining = tile_counts[t];

@@ -103,7 +103,11 @@ def build_tiled_csr(
     w = (np.ones(E, np.float32) if edge_weight is None
          else np.asarray(edge_weight, np.float32).reshape(-1))
 
-    order = np.argsort(receivers, kind="stable")
+    # Sort by (receiver tile, sender): tile membership is all that
+    # correctness needs (the one-hot handles any in-tile order), and
+    # sender-sorted chunks make the XLA gather's HBM access near-sequential.
+    tile_key = (receivers // tn) * (senders.max() + 2 if E else 1) + senders
+    order = np.argsort(tile_key, kind="stable")
     s, r, w = senders[order], receivers[order], w[order]
 
     num_tiles = max(-(-num_nodes // tn), 1)
