@@ -67,5 +67,11 @@ from .nn import (
     SpectralConv,
 )
 from .utils import drop, wrapgraph, update_graph, updategraph
+from .ode import (
+    NeuralGraphODE,
+    diffeqsol_to_array,
+    odeint,
+    odeint_grid,
+)
 
 __version__ = "0.1.0"

@@ -290,3 +290,56 @@ def odeint(
 
     return _odeint_adaptive(rhs2, tab, rtol, atol, max_steps, y0, ts,
                             (args, consts))
+
+
+def solve_stats(
+    rhs: Callable,
+    y0: Any,
+    ts: jax.Array,
+    args: Any = None,
+    *,
+    solver="tsit5",
+    rtol: float = 1e-6,
+    atol: float = 1e-6,
+    max_steps: int = 10_000,
+):
+    """Diagnostic forward solve returning ``(ys, attempts_per_interval)`` —
+    attempts counts accepted+rejected steps per save interval (the RHS/SpMM
+    invocation count driving the edges/s roofline; SURVEY §5.1)."""
+    tab = get_tableau(solver)
+    ts = jnp.asarray(ts)
+    if args is None:
+        args = ()
+    f0 = rhs(ts[0], y0, args)
+    dt0 = _initial_step_size(rhs, ts[0], y0, f0, args, tab.order, rtol, atol)
+
+    def interval(carry, target_t):
+        y, f, t, dt = carry
+
+        def cond(state):
+            _, _, t, _, n = state
+            return (t < target_t) & (n < max_steps)
+
+        def body(state):
+            y, f, t, dt, n = state
+            dt_c = jnp.minimum(dt, target_t - t)
+            y1, err, f_last = _rk_step(rhs, tab, t, y, dt_c, f, args)
+            ratio = _error_ratio(err, y, y1, rtol, atol)
+            accept = ratio <= 1.0
+            f1 = f_last if tab.fsal else rhs(t + dt_c, y1, args)
+            y = _tree_where(accept, y1, y)
+            f = _tree_where(accept, f1, f)
+            t = jnp.where(accept, t + dt_c, t)
+            dt = _optimal_dt(dt_c, ratio, tab.order)
+            return y, f, t, dt, n + 1
+
+        y, f, t, dt, n = lax.while_loop(
+            cond, body, (y, f, t, dt, jnp.zeros((), jnp.int32)))
+        return (y, f, t, dt), (y, n)
+
+    init = (y0, f0, ts[0], dt0)
+    _, (ys_tail, attempts) = lax.scan(interval, init, ts[1:])
+    ys = map_tree(
+        lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+        y0, ys_tail)
+    return ys, attempts

@@ -169,3 +169,15 @@ def test_saveat_rollout():
     ps, st = setup(jax.random.PRNGKey(0), node)
     ys, _ = node(jnp.ones((2, 1)), ps, st)
     assert ys.shape == (6, 2, 1)
+
+
+def test_solve_stats_counts_steps():
+    from neuralgraphpde.ode import solve_stats
+
+    rhs = lambda t, y, args: -y
+    ys, attempts = solve_stats(rhs, jnp.ones(()), jnp.asarray([0.0, 1.0, 2.0]),
+                               rtol=1e-6, atol=1e-8)
+    assert ys.shape == (3,)
+    assert attempts.shape == (2,)
+    assert int(attempts.sum()) > 0
+    assert np.allclose(float(ys[-1]), np.exp(-2.0), atol=1e-5)
