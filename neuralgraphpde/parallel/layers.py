@@ -59,6 +59,56 @@ class ShardedGCNConv(Layer):
         return y, st
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class ShardedVMHConv(Layer):
+    """Edge-partitioned VMHConv: ``m_i = mean_j ϕ(h_i, h_j−h_i, x_j−x_i)``;
+    ``h_i' = γ(h_i, m_i)`` (single-device math: nn/conv.py VMHConv,
+    reference src/layers.jl:241-332). Positions ride the halo exchange
+    concatenated with the embeddings, so one all_to_all serves the whole
+    message. Requires ``partition_graph(g, P, halo=True)`` with
+    ``ndata['x']`` present."""
+
+    phi: Layer
+    gamma: Layer
+    mesh: Optional[Mesh] = None
+    aggr: str = "mean"
+    axis_name: str = GRAPH_AXIS
+    initialgraph: Optional[Callable] = None
+
+    def initialparameters(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {"phi": self.phi.initialparameters(k1),
+                "gamma": self.gamma.initialparameters(k2)}
+
+    def initialstates(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {"phi": self.phi.initialstates(k1),
+                "gamma": self.gamma.initialstates(k2),
+                "graph": self.initialgraph() if self.initialgraph else None}
+
+    def __call__(self, x, ps, st):
+        from .halo import sharded_propagate
+
+        pg: PartitionedGraph = st["graph"]
+        pos = pg.ndata["x"]
+        fh = x.shape[-1]
+        x_aug = jnp.concatenate([x, pos.astype(x.dtype)], axis=-1)
+        cell = {"phi": st["phi"]}
+
+        def message(xi, xj, e):
+            hi, posi = xi[:, :fh], xi[:, fh:]
+            hj, posj = xj[:, :fh], xj[:, fh:]
+            feats = jnp.concatenate([hi, hj - hi, posj - posi], axis=-1)
+            m, cell["phi"] = self.phi(feats, ps["phi"], cell["phi"])
+            return m
+
+        m = sharded_propagate(pg, message, x_aug, self.mesh, aggr=self.aggr,
+                              axis_name=self.axis_name)
+        y, st_gamma = self.gamma(
+            jnp.concatenate([x, m], axis=-1), ps["gamma"], st["gamma"])
+        return y, {**st, "phi": cell["phi"], "gamma": st_gamma}
+
+
 def sharded_grand_model(
     in_dims: int,
     hidden_dims: int,

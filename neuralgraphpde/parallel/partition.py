@@ -54,6 +54,8 @@ class PartitionedGraph:
     senders_halo: Optional[jax.Array] = None  # (P, E_max) int32
     # per-partition edge features (P, E_max, F), permuted like the edges
     edata: FeatureDict = dataclasses.field(default_factory=dict)
+    # node features (padded_nodes, F) — shard row-wise like the inputs
+    ndata: FeatureDict = dataclasses.field(default_factory=dict)
 
     @property
     def padded_nodes(self) -> int:
@@ -62,7 +64,7 @@ class PartitionedGraph:
     def tree_flatten(self):
         children = (self.senders_global, self.receivers_local, self.edge_mask,
                     self.in_degree, self.node_mask, self.send_idx,
-                    self.senders_halo, self.edata)
+                    self.senders_halo, self.edata, self.ndata)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
                self.num_edges, self.halo_size)
         return children, aux
@@ -70,11 +72,11 @@ class PartitionedGraph:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (senders_global, receivers_local, edge_mask, in_degree, node_mask,
-         send_idx, senders_halo, edata) = children
+         send_idx, senders_halo, edata, ndata) = children
         P, npp, n, e, h = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
-                   dict(edata))
+                   dict(edata), dict(ndata))
 
 
 def partition_graph(
@@ -195,6 +197,11 @@ def partition_graph(
         send_idx=send_idx,
         senders_halo=senders_halo,
         edata=edata,
+        ndata={k: jnp.asarray(np.concatenate(
+            [np.asarray(v),
+             np.zeros((P * npp - N,) + np.asarray(v).shape[1:],
+                      np.asarray(v).dtype)], axis=0))
+               for k, v in g.ndata.items()},
     )
 
 

@@ -197,3 +197,27 @@ def test_sharded_propagate_custom_message(mesh):
     got = np.asarray(sharded_propagate(pg, message_dist, xp, mesh,
                                        aggr="mean"))[: g.num_nodes]
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_sharded_vmh_matches_single_device(mesh):
+    """Edge-partitioned VMHConv must match the single-device layer."""
+    from neuralgraphpde import Dense, VMHConv
+    from neuralgraphpde.parallel import ShardedVMHConv
+
+    rng = np.random.default_rng(12)
+    pos = rng.normal(size=(48, 2)).astype(np.float32)
+    g = rand_graph(48, 256, seed=12, ndata={"x": pos})
+    h = rng.normal(size=(48, 4)).astype(np.float32)
+
+    phi = Dense(4 + 4 + 2, 6, "tanh")
+    gamma = Dense(4 + 6, 5)
+    l = VMHConv(phi, gamma, initialgraph=g)
+    ps, st = setup(jax.random.PRNGKey(3), l)
+    want, _ = l(jnp.asarray(h), ps, st)
+
+    pg = partition_graph(g, NDEV, halo=True)
+    ld = ShardedVMHConv(phi, gamma, mesh=mesh, initialgraph=lambda: pg)
+    std = ld.initialstates(jax.random.PRNGKey(3))
+    hp = shard_node_features(pad_node_features(h, pg), pg, mesh)
+    got, _ = ld(hp, ps, std)
+    assert np.allclose(np.asarray(got)[:48], np.asarray(want), atol=1e-5)
