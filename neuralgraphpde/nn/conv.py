@@ -19,6 +19,7 @@ from ..graph.builders import complete_digraph
 from ..graph.transforms import add_self_loops as _add_self_loops
 from ..graph.transforms import degree as _degree
 from ..ops.message_passing import copy_xj, e_mul_xj, propagate, w_mul_xj
+from ..ops.scatter import canonical_reduction
 from ..utils.state import drop, wrapgraph
 from .basic import (
     Dense,
@@ -39,6 +40,16 @@ def _cat(arrays, width_hint=None):
     if not arrays:
         return width_hint
     return jnp.concatenate(arrays, axis=-1)
+
+
+def _phi_sub(layer, x, phi_ps, phi_st, name, n_layers):
+    """Run one prefix layer of a fused ϕ with Chain-style nested params."""
+    ps_i = phi_ps[name]
+    st_i = phi_st.get(name, {}) if isinstance(phi_st, dict) else {}
+    y, st_i = layer(x, ps_i, st_i)
+    new_st = dict(phi_st) if isinstance(phi_st, dict) else {}
+    new_st[name] = st_i
+    return y, new_st
 
 
 def _values_cat(d, like, count):
@@ -299,6 +310,12 @@ class GNOConv(AbstractGNNContainerLayer):
     use_bias: bool = True
     init_weight: Callable = glorot_uniform
     init_bias: Callable = zeros_init
+    # Use the fused Pallas kernel (kernels/gno_kernels.py) when the graph
+    # carries a precomputed edge tiling (ops.precompute(g, pallas=True)):
+    # ϕ's last linear layer, the per-edge matvec, and the receiver
+    # segment-sum run in one kernel — the E×(in·out) kernel tensor never
+    # touches HBM. Requires ϕ to be an MLP/Chain ending in a plain Dense.
+    fused: bool = False
     layer_names: Tuple[str, ...] = ("linear", "phi")
 
     def __post_init__(self):
@@ -311,33 +328,102 @@ class GNOConv(AbstractGNNContainerLayer):
     def _children(self):
         return {"linear": self.linear, "phi": self.phi}
 
+    def _phi_split(self):
+        """(prefix_layers, last_dense) when ϕ is fusable, else None."""
+        from .basic import MLP, Chain
+
+        phi = self.phi
+        if isinstance(phi, MLP):
+            phi = phi._chain
+        if isinstance(phi, Chain):
+            layers = phi.layers
+        elif isinstance(phi, Dense):
+            layers = (phi,)
+        else:
+            return None
+        last = layers[-1]
+        if not isinstance(last, Dense) or last.activation not in (None,
+                                                                  "identity"):
+            return None
+        return layers[:-1], last
+
+    def _fused_forward(self, x, ps, st, g):
+        from ..kernels.gno_kernels import fused_gno_aggregate, pack_last_layer
+        from ..ops.message_passing import apply_edges
+
+        split = self._phi_split()
+        if split is None:
+            return None
+        prefix, _ = split
+        E = g.num_edges
+        s = g.ndata
+        phi_ps = ps["phi"]
+        st_cell = {"phi": st["phi"]}
+
+        def edge_feats(xi, xj, e_feat):
+            si = _values_cat({k: xi[k] for k in s}, x, E)
+            sj = _values_cat({k: xj[k] for k in s}, x, E)
+            e_cat = _values_cat(e_feat or {}, x, E)
+            return jnp.concatenate([si, sj, e_cat], axis=-1)
+
+        feats = apply_edges(edge_feats, g, xi=s, xj=s, e=g.edata)
+        n_layers = len(prefix) + 1
+        ph = feats
+        for i, layer in enumerate(prefix):
+            name = f"layer_{i + 1}"
+            ph, st_cell["phi"] = _phi_sub(layer, ph, phi_ps, st_cell["phi"],
+                                          name, n_layers)
+        last_name = f"layer_{n_layers}"
+        last_ps = phi_ps[last_name] if n_layers > 1 else phi_ps
+        wl, bl = pack_last_layer(last_ps["weight"], last_ps.get("bias"),
+                                 self.in_chs, self.out_chs)
+        m = fused_gno_aggregate(ph, x, wl, bl, g.cache["tcsr_edges"],
+                                g.senders)[: g.num_nodes]
+        red = canonical_reduction(self.aggr)
+        if red == "mean":
+            if "in_degree" in g.cache:
+                deg = g.cache["in_degree"].astype(m.dtype)
+            else:
+                deg = _degree(g, m.dtype, direction="in")
+            m = m / jnp.maximum(deg, 1.0)[:, None]
+        elif red != "sum":
+            return None
+        return m, st_cell["phi"]
+
     def __call__(self, x, ps, st):
         g: GnnGraph = st["graph"]
         E = g.num_edges
         s = g.ndata
-        st_cell = {"phi": st["phi"]}
 
-        def message(xi, xj, e_feat):
-            si = _values_cat({k: xi[k] for k in s}, x, E)
-            sj = _values_cat({k: xj[k] for k in s}, x, E)
-            e_cat = _values_cat(e_feat or {}, x, E)
-            w, st_cell["phi"] = self.phi(
-                jnp.concatenate([si, sj, e_cat], axis=-1), ps["phi"],
-                st_cell["phi"])
-            hj = xj["_h"]
-            # Row-major layout matching the reference's column-major
-            # reshape(W, out, in, E): w[e, i*out + o] == W_julia[o, i, e].
-            w = w.reshape(E, self.in_chs, self.out_chs)
-            return jnp.einsum("eio,ei->eo", w, hj)
+        fused_out = None
+        if self.fused and "tcsr_edges" in g.cache:
+            fused_out = self._fused_forward(x, ps, st, g)
+        if fused_out is not None:
+            m, st_phi = fused_out
+        else:
+            st_cell = {"phi": st["phi"]}
 
-        xs = {"_h": x, **s}
-        m = propagate(message, g, self.aggr, xi=xs, xj=xs, e=g.edata)
+            def message(xi, xj, e_feat):
+                si = _values_cat({k: xi[k] for k in s}, x, E)
+                sj = _values_cat({k: xj[k] for k in s}, x, E)
+                e_cat = _values_cat(e_feat or {}, x, E)
+                w, st_cell["phi"] = self.phi(
+                    jnp.concatenate([si, sj, e_cat], axis=-1), ps["phi"],
+                    st_cell["phi"])
+                hj = xj["_h"]
+                # Row-major layout matching the reference's column-major
+                # reshape(W, out, in, E): w[e, i*out + o] == W_julia[o, i, e].
+                w = w.reshape(E, self.in_chs, self.out_chs)
+                return jnp.einsum("eio,ei->eo", w, hj)
+
+            xs = {"_h": x, **s}
+            m = propagate(message, g, self.aggr, xi=xs, xj=xs, e=g.edata)
+            st_phi = st_cell["phi"]
 
         y = jnp.dot(x, ps["linear"]["weight"], preferred_element_type=x.dtype) + m
         if self.use_bias:
             y = y + ps["linear"]["bias"]
-        return resolve_activation(self.activation)(y), {
-            **st, "phi": st_cell["phi"]}
+        return resolve_activation(self.activation)(y), {**st, "phi": st_phi}
 
 
 # --------------------------------------------------------------------------
