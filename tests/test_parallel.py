@@ -221,3 +221,33 @@ def test_sharded_vmh_matches_single_device(mesh):
     hp = shard_node_features(pad_node_features(h, pg), pg, mesh)
     got, _ = ld(hp, ps, std)
     assert np.allclose(np.asarray(got)[:48], np.asarray(want), atol=1e-5)
+
+
+def test_tensor_parallel_mlp_matches_replicated():
+    """Column-sharded MLP params under jit must produce identical outputs
+    (GSPMD inserts the collectives)."""
+    from jax.sharding import Mesh
+    from neuralgraphpde import MLP, setup
+    from neuralgraphpde.parallel import shard_mlp_params
+
+    mesh = Mesh(np.asarray(jax.devices()[:NDEV]), ("model",))
+    mlp = MLP((64, 512, 512, 32), activation="tanh")
+    ps, st = setup(jax.random.PRNGKey(0), mlp)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 64))
+                    .astype(np.float32))
+
+    want, _ = mlp(x, ps, st)
+    ps_tp = shard_mlp_params(ps, mesh, "model", min_dim=256)
+
+    @jax.jit
+    def fwd(x, ps):
+        y, _ = mlp(x, ps, st)
+        return y
+
+    got = fwd(x, ps_tp)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # the big kernels actually got sharded
+    shardings = {k: v.sharding.spec for k, v in
+                 [("l1", ps_tp["layer_1"]["weight"]),
+                  ("l2", ps_tp["layer_2"]["weight"])]}
+    assert any("model" in str(s) for s in shardings.values())
