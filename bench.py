@@ -2,17 +2,18 @@
 
 Runs the GCN ODE RHS (degree-scale → SpMM → degree-scale → weight matmul →
 activation) in an on-device `fori_loop` over a large random graph and reports
-sustained edges/s on one chip. ``vs_baseline`` compares the framework's
+sustained edges/s on one chip. ``vs_baseline`` compares the framework's best
 Pallas tiled-CSR path against the plain XLA gather+segment_sum implementation
 of the same RHS (the structural equivalent of the reference's NNlib scatter
 path).
 
 Robustness (see docs/tpu_design.md): the tunneled TPU backend has
-minute-scale compile-latency variance and stalls on large device→host reads,
-so each measurement path runs in its own subprocess with a timeout, all graph
-preprocessing is host-side NumPy, synchronization is via a single scalar
-read, and steady-state time is the difference between a long and a short loop
-of the same compiled family.
+minute-scale compile/session-warmup variance and stalls on large
+device→host reads. All paths therefore run in ONE worker subprocess
+(warm-up amortized) that streams each result to a file as it lands; the
+parent enforces an overall timeout and harvests whatever completed. Paths
+run safest-first. Sync is via small scalar reads only; steady-state time is
+the difference between a long and a short loop of the same compiled family.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
@@ -24,22 +25,30 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 NUM_NODES = 1 << 18
 AVG_DEGREE = 16
 FEAT = 128
 ITERS_SHORT, ITERS_LONG = 4, 24
-PATH_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_PATH_TIMEOUT", "540"))
+PATHS = ["xla", "pallas", "pallas_bf16"]
+TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 
 
-def _measure(path: str) -> float:
-    """Edges/s for one implementation path. Runs inside a subprocess."""
+def _worker(outfile: str) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from neuralgraphpde.kernels.segment_kernels import (
+        _tiled_segment_spmm_fwd, build_tiled_csr, tiled_segment_spmm,
+    )
+
+    def emit(line: str) -> None:
+        with open(outfile, "a") as f:
+            f.write(line + "\n")
 
     rng = np.random.default_rng(0)
     E = NUM_NODES * AVG_DEGREE
@@ -52,86 +61,90 @@ def _measure(path: str) -> float:
     w = jnp.asarray(
         (rng.normal(size=(FEAT, FEAT)) / np.sqrt(FEAT)).astype(np.float32))
 
-    if path == "xla":
-        senders = jnp.asarray(senders_np)
-        receivers = jnp.asarray(receivers_np)
+    senders = jnp.asarray(senders_np)
+    receivers = jnp.asarray(receivers_np)
+    tcsr = build_tiled_csr(senders_np, receivers_np, NUM_NODES)
+    tcsr_rev = build_tiled_csr(receivers_np, senders_np, NUM_NODES)
 
-        def spmm(h):
-            xj = jnp.take(h, senders, axis=0)
-            return jax.ops.segment_sum(xj, receivers, num_segments=NUM_NODES,
-                                       indices_are_sorted=True)
-    elif path in ("pallas", "pallas_bf16"):
-        from neuralgraphpde.kernels.segment_kernels import (
-            _tiled_segment_spmm_fwd, build_tiled_csr, tiled_segment_spmm,
-        )
-
-        tcsr = build_tiled_csr(senders_np, receivers_np, NUM_NODES)
-        tcsr_rev = build_tiled_csr(receivers_np, senders_np, NUM_NODES)
-
-        if path == "pallas":
-            def spmm(h):
+    def spmm_for(path):
+        if path == "xla":
+            def f(h):
+                xj = jnp.take(h, senders, axis=0)
+                return jax.ops.segment_sum(
+                    xj, receivers, num_segments=NUM_NODES,
+                    indices_are_sorted=True)
+        elif path == "pallas":
+            def f(h):
                 return tiled_segment_spmm(h, tcsr, tcsr_rev)[:NUM_NODES]
-        else:
-            # bf16 gather traffic, f32 accumulation (docs/tpu_design.md)
-            def spmm(h):
+        elif path == "pallas_bf16":
+            # bf16 gather traffic, f32 accumulate (docs/tpu_design.md)
+            def f(h):
                 return _tiled_segment_spmm_fwd(
                     tcsr, h, compute_dtype=jnp.bfloat16)[:NUM_NODES]
-    else:
-        raise ValueError(path)
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def loop(x0, iters):
-        def rhs(v):
-            h = v * c[:, None]
-            h = spmm(h)
-            h = h * c[:, None]
-            h = jnp.dot(h, w, preferred_element_type=h.dtype)
-            return jnp.tanh(h)
-
-        return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
+        else:
+            raise ValueError(path)
+        return f
 
     def sync(v):
         return float(jnp.sum(v[0, :8]))
 
-    sync(loop(x, ITERS_SHORT))
-    sync(loop(x, ITERS_LONG))
-    t0 = time.perf_counter()
-    sync(loop(x, ITERS_SHORT))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sync(loop(x, ITERS_LONG))
-    t_long = time.perf_counter() - t0
-    dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
-    return E / dt
+    for path in PATHS:
+        try:
+            spmm = spmm_for(path)
 
+            @functools.partial(jax.jit, static_argnums=(1,))
+            def loop(x0, iters, spmm=spmm):
+                def rhs(v):
+                    h = v * c[:, None]
+                    h = spmm(h)
+                    h = h * c[:, None]
+                    h = jnp.dot(h, w, preferred_element_type=h.dtype)
+                    return jnp.tanh(h)
 
-def _run_path(path: str) -> float:
-    """Run one path in a subprocess with a timeout; 0.0 on failure."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--path", path],
-            capture_output=True, text=True, timeout=PATH_TIMEOUT_S,
-        )
-    except subprocess.TimeoutExpired:
-        print(f"# {path} path timed out after {PATH_TIMEOUT_S}s", flush=True)
-        return 0.0
-    for line in proc.stdout.splitlines():
-        if line.startswith("EDGES_PER_S "):
-            return float(line.split()[1])
-    err = (proc.stderr or "").strip().splitlines()
-    print(f"# {path} path failed: {err[-1] if err else 'no output'}",
-          flush=True)
-    return 0.0
+                return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
+
+            sync(loop(x, ITERS_SHORT))
+            sync(loop(x, ITERS_LONG))
+            t0 = time.perf_counter()
+            sync(loop(x, ITERS_SHORT))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sync(loop(x, ITERS_LONG))
+            t_long = time.perf_counter() - t0
+            dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
+            emit(f"RESULT {path} {E / dt}")
+        except Exception as err:  # keep going: later paths may still work
+            emit(f"FAIL {path} {type(err).__name__}")
 
 
 def main():
-    if "--path" in sys.argv:
-        path = sys.argv[sys.argv.index("--path") + 1]
-        print(f"EDGES_PER_S {_measure(path)}")
+    if "--worker" in sys.argv:
+        _worker(sys.argv[sys.argv.index("--worker") + 1])
         return
 
-    base_eps = _run_path("xla")
-    best_eps = max(_run_path("pallas"), _run_path("pallas_bf16"))
+    outfile = tempfile.mktemp(prefix="ngpde_bench_")
+    open(outfile, "w").close()
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", outfile],
+            timeout=TOTAL_TIMEOUT_S, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print("# worker hit overall timeout; using partial results",
+              flush=True)
+
+    results = {}
+    with open(outfile) as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] == "RESULT":
+                results[parts[1]] = float(parts[2])
+            elif parts and parts[0] == "FAIL":
+                print(f"# {parts[1]} path failed: {parts[2]}", flush=True)
+    os.unlink(outfile)
+
+    base_eps = results.get("xla", 0.0)
+    best_eps = max(results.get("pallas", 0.0),
+                   results.get("pallas_bf16", 0.0))
     if base_eps <= 0 and best_eps <= 0:
         print(json.dumps({
             "metric": "spmm_ode_rhs_edges_per_s_per_chip",

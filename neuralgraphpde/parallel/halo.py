@@ -65,6 +65,19 @@ def _local_spmm_block_halo(x_block, senders_h, recv_l, emask, send_idx_p,
         xj, recv_l[0], num_segments=npp, indices_are_sorted=True)
 
 
+def _local_spmm_block_tiled(x_block, send_idx_p, ts, tr, tw, tc,
+                            tn, te, npp, axis_name=GRAPH_AXIS):
+    """Halo exchange + per-device Pallas tiled-CSR kernel (the multi-chip
+    fast path; partition_graph(tiled=True))."""
+    from ..kernels.segment_kernels import TiledCSR, tiled_segment_spmm
+
+    table = _halo_table(x_block, send_idx_p, axis_name)
+    tcsr = TiledCSR(
+        senders=ts[0], recv_local=tr[0], wmask=tw[0], chunk_tile=tc[0],
+        num_tiles=-(-npp // tn), tn=tn, te=te, num_nodes=npp)
+    return tiled_segment_spmm(table, tcsr, None)[:npp]
+
+
 def sharded_spmm(
     pg: PartitionedGraph,
     x: jax.Array,
@@ -78,6 +91,26 @@ def sharded_spmm(
     the metadata; all_gather otherwise.
     """
     npp = pg.nodes_per_part
+
+    if pg.tile_senders is not None:
+        tn, te = pg.tile_tn, pg.tile_te
+
+        def body(x_block, send_idx, ts, tr, tw, tc):
+            return _local_spmm_block_tiled(x_block, send_idx, ts, tr, tw, tc,
+                                           tn, te, npp, axis_name)
+
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None, None),
+                      P(axis_name, None, None), P(axis_name, None, None),
+                      P(axis_name, None, None), P(axis_name, None)),
+            out_specs=P(axis_name, None),
+            # pallas_call inside shard_map can't express varying-mesh-axes
+            # metadata on its out_shape yet
+            check_vma=False,
+        )
+        return f(x, pg.send_idx, pg.tile_senders, pg.tile_recv,
+                 pg.tile_wmask, pg.tile_chunk)
 
     if pg.senders_halo is not None:
         def body(x_block, senders_h, recv_l, emask, send_idx):

@@ -56,6 +56,15 @@ class PartitionedGraph:
     edata: FeatureDict = dataclasses.field(default_factory=dict)
     # node features (padded_nodes, F) — shard row-wise like the inputs
     ndata: FeatureDict = dataclasses.field(default_factory=dict)
+    # Optional per-partition Pallas tilings (leading P axis, chunk counts
+    # padded to the max partition): lets shard_map bodies run the tiled-CSR
+    # kernel on their local edges. Built by partition_graph(tiled=True).
+    tile_senders: Optional[jax.Array] = None  # (P, C, TE) halo-table indices
+    tile_recv: Optional[jax.Array] = None  # (P, C, TE)
+    tile_wmask: Optional[jax.Array] = None  # (P, C, TE)
+    tile_chunk: Optional[jax.Array] = None  # (P, C)
+    tile_tn: int = 0
+    tile_te: int = 0
 
     @property
     def padded_nodes(self) -> int:
@@ -64,19 +73,23 @@ class PartitionedGraph:
     def tree_flatten(self):
         children = (self.senders_global, self.receivers_local, self.edge_mask,
                     self.in_degree, self.node_mask, self.send_idx,
-                    self.senders_halo, self.edata, self.ndata)
+                    self.senders_halo, self.edata, self.ndata,
+                    self.tile_senders, self.tile_recv, self.tile_wmask,
+                    self.tile_chunk)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
-               self.num_edges, self.halo_size)
+               self.num_edges, self.halo_size, self.tile_tn, self.tile_te)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (senders_global, receivers_local, edge_mask, in_degree, node_mask,
-         send_idx, senders_halo, edata, ndata) = children
-        P, npp, n, e, h = aux
+         send_idx, senders_halo, edata, ndata, tile_senders, tile_recv,
+         tile_wmask, tile_chunk) = children
+        P, npp, n, e, h, ttn, tte = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
-                   dict(edata), dict(ndata))
+                   dict(edata), dict(ndata), tile_senders, tile_recv,
+                   tile_wmask, tile_chunk, ttn, tte)
 
 
 def partition_graph(
@@ -86,6 +99,9 @@ def partition_graph(
     pad_edges_to_multiple: int = 128,
     halo: bool = True,
     pad_halo_to_multiple: int = 8,
+    tiled: bool = False,
+    tile_tn: int = 0,
+    tile_te: int = 0,
 ) -> PartitionedGraph:
     """Partition ``g`` by receiver into contiguous node blocks.
 
@@ -180,6 +196,43 @@ def partition_graph(
                                  for gid in sq], np.int32)
             own = (sq // npp) == q
             senders_halo[q, :n] = np.where(own, local, remote)
+
+    tile_kw = {}
+    if tiled and halo:
+        from ..kernels.segment_kernels import (
+            TE_DEFAULT, TN_DEFAULT, build_tiled_csr,
+        )
+
+        tn = tile_tn or TN_DEFAULT
+        te = tile_te or TE_DEFAULT
+        parts = []
+        for q in range(P):
+            n_q = int(counts[q])
+            t = build_tiled_csr(
+                senders_halo[q, :n_q], recv_l[q, :n_q], npp, tn=tn, te=te,
+                edge_weight=emask[q, :n_q])
+            parts.append(t)
+        c_max = max(int(t.chunk_tile.shape[0]) for t in parts)
+        num_tiles = parts[0].num_tiles
+        ts_ = np.zeros((P, c_max, te), np.int32)
+        tr_ = np.zeros((P, c_max, te), np.int32)
+        tw_ = np.zeros((P, c_max, te), np.float32)
+        # pad chunks keep the LAST tile id so the kernel's first-visit
+        # detection never re-zeroes an earlier tile
+        tc_ = np.full((P, c_max), num_tiles - 1, np.int32)
+        for q, t in enumerate(parts):
+            C_q = int(t.chunk_tile.shape[0])
+            ts_[q, :C_q] = np.asarray(t.senders)
+            tr_[q, :C_q] = np.asarray(t.recv_local)
+            tw_[q, :C_q] = np.asarray(t.wmask)
+            tc_[q, :C_q] = np.asarray(t.chunk_tile)
+        tile_kw = dict(
+            tile_senders=jnp.asarray(ts_), tile_recv=jnp.asarray(tr_),
+            tile_wmask=jnp.asarray(tw_), tile_chunk=jnp.asarray(tc_),
+            tile_tn=tn, tile_te=te,
+        )
+
+    if senders_halo is not None:
         send_idx = jnp.asarray(send_idx)
         senders_halo = jnp.asarray(senders_halo)
 
@@ -202,6 +255,7 @@ def partition_graph(
              np.zeros((P * npp - N,) + np.asarray(v).shape[1:],
                       np.asarray(v).dtype)], axis=0))
                for k, v in g.ndata.items()},
+        **tile_kw,
     )
 
 

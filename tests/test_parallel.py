@@ -251,3 +251,31 @@ def test_tensor_parallel_mlp_matches_replicated():
                  [("l1", ps_tp["layer_1"]["weight"]),
                   ("l2", ps_tp["layer_2"]["weight"])]}
     assert any("model" in str(s) for s in shardings.values())
+
+
+def test_sharded_spmm_tiled_pallas(mesh):
+    """Per-partition Pallas tiled-CSR inside shard_map (interpret mode) must
+    match the XLA halo path and single-device spmm."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = rand_graph(96, 600, seed=13)
+    pg = partition_graph(g, NDEV, halo=True, tiled=True, tile_tn=8,
+                         tile_te=32)
+    assert pg.tile_senders is not None
+    x = np.random.default_rng(13).normal(size=(96, 16)).astype(np.float32)
+    want = np.asarray(spmm(g, jnp.asarray(x)))
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sharded_spmm(pg, xp, mesh))[: g.num_nodes]
+    assert np.allclose(got, want, atol=1e-4)
+
+    # gradient flows through kernel + halo transpose
+    def loss(xp):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(sharded_spmm(pg, xp, mesh)[: g.num_nodes] ** 2)
+
+    gx = jax.grad(loss)(xp)
+    pg_x = partition_graph(g, NDEV, halo=True)
+    gx_ref = jax.grad(lambda xp: jnp.sum(
+        sharded_spmm(pg_x, xp, mesh)[: g.num_nodes] ** 2))(xp)
+    assert np.allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
