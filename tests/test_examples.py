@@ -1,0 +1,37 @@
+"""Smoke-run the benchmark-config example scripts with tiny sizes
+(subprocess, CPU) — the executable-docs role of the reference's doctested
+tutorials (SURVEY §4)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_example(args, timeout=150):
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable] + args, cwd=ROOT, env=env,
+        capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout
+
+
+def test_grand_cora_example():
+    out = run_example(["examples/train_grand_cora.py", "--cpu",
+                       "--epochs", "5", "--nodes", "200", "--features", "32"])
+    assert "epoch" in out
+
+
+def test_gno_darcy_example():
+    out = run_example(["examples/train_gno_darcy.py", "--cpu",
+                       "--samples", "2", "--n", "8", "--epochs", "2"])
+    assert "train mse" in out
+
+
+def test_distributed_example():
+    out = run_example(["examples/distributed_grand.py", "--cpu8",
+                       "--nodes", "2000", "--degree", "6"])
+    assert "steady step" in out
