@@ -8,7 +8,7 @@ learnable). Loaders accept an optional ``path`` to real data when present.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,8 +8,6 @@ MLP over gathered ``(a_i, a_j, x_i, x_j)`` pairs), project to the solution.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from ..graph.gnngraph import GnnGraph

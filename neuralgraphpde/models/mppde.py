@@ -15,8 +15,6 @@ K-step bundling live here:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -9,12 +9,12 @@ forward is a single ``x @ W`` MXU matmul.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
-from .core import ContainerLayer, Layer, Params, State
+from .core import ContainerLayer, Layer
 
 # ------------------------------------------------------------- initializers
 def glorot_uniform(rng, shape, dtype=jnp.float32):

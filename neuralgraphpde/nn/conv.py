@@ -21,13 +21,7 @@ from ..graph.transforms import degree as _degree
 from ..ops.message_passing import copy_xj, e_mul_xj, propagate, w_mul_xj
 from ..ops.scatter import canonical_reduction
 from ..utils.state import drop, wrapgraph
-from .basic import (
-    Dense,
-    glorot_normal,
-    glorot_uniform,
-    resolve_activation,
-    zeros_init,
-)
+from .basic import Dense, glorot_uniform, resolve_activation, zeros_init
 from .core import Layer
 from .gnn import INPUT_KEY, AbstractGNNContainerLayer, AbstractGNNLayer, wrap_input
 

@@ -13,7 +13,7 @@ Layers are frozen dataclasses (hashable static config, safe to close over in
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 

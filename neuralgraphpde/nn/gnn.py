@@ -7,12 +7,11 @@ injected later via ``update_graph``). The forward signature stays the pure
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple, Union
+from typing import Callable, Dict
 
 import jax
 
 from ..graph.gnngraph import GnnGraph
-from ..utils.state import wrapgraph
 from .core import ContainerLayer, Layer
 
 # Bare-array layer inputs are wrapped under this key so they can be merged

@@ -22,7 +22,7 @@ axis (``ys[0] == y0``).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

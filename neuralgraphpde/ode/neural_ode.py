@@ -10,7 +10,7 @@ state (graph included) is closed over by the RHS exactly like the tutorial's
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

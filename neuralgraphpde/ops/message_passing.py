@@ -12,7 +12,7 @@ functions receive the edge-expanded version with the same structure.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Union
+from typing import Any, Callable, Dict, Union
 
 import jax
 import jax.numpy as jnp

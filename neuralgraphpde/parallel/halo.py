@@ -12,8 +12,7 @@ This is the structural analog of sequence-parallel halo exchange (SURVEY
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

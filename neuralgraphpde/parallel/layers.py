@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..nn.basic import Dense, glorot_uniform, resolve_activation, zeros_init
-from ..nn.core import ContainerLayer, Layer
+from ..nn.core import Layer
 from ..ode.neural_ode import NeuralGraphODE
 from .halo import GRAPH_AXIS, sharded_gcn_forward
 from .partition import PartitionedGraph

@@ -18,7 +18,7 @@ Built host-side with NumPy: partitioning is data preparation, done once.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -5,8 +5,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     step: int = 0) -> None:
