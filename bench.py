@@ -38,6 +38,17 @@ TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 
 def _worker(outfile: str) -> None:
     import jax
+
+    # Persistent compilation cache: repeat bench runs skip the remote
+    # compile stalls when the backend supports executable serialization.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
