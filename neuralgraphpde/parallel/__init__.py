@@ -13,13 +13,15 @@ from .halo import (
     shard_node_features,
     replicate,
 )
-from .layers import ShardedGCNConv, ShardedVMHConv, sharded_grand_model
+from .layers import (ShardedGCNConv, ShardedVMHConv, ShardedMPPDEConv,
+                     ShardedGNOConv, sharded_grand_model)
 from .tp import shard_mlp_params, replicate_params
 
 __all__ = [
     "PartitionedGraph", "partition_graph", "pad_node_features",
     "unpad_node_features", "GRAPH_AXIS", "make_mesh", "sharded_spmm",
     "sharded_gcn_forward", "sharded_propagate", "shard_node_features", "replicate",
-    "ShardedGCNConv", "ShardedVMHConv", "sharded_grand_model",
+    "ShardedGCNConv", "ShardedVMHConv", "ShardedMPPDEConv", "ShardedGNOConv",
+    "sharded_grand_model",
     "shard_mlp_params", "replicate_params",
 ]

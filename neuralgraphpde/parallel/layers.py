@@ -109,6 +109,126 @@ class ShardedVMHConv(Layer):
         return y, {**st, "phi": cell["phi"], "gamma": st_gamma}
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class ShardedMPPDEConv(Layer):
+    """Edge-partitioned MPPDEConv (single-graph batches): the message
+    ``ϕ(h_i, h_j, u_i−u_j, x_i−x_j, θ)`` reads ``u``/``x`` from the
+    partition's node features, exchanged with the embeddings in one halo;
+    θ is replicated (passed at construction or zero-width)."""
+
+    phi: Layer
+    psi: Layer
+    mesh: Optional[Mesh] = None
+    aggr: str = "mean"
+    theta_dim: int = 0
+    axis_name: str = GRAPH_AXIS
+    initialgraph: Optional[Callable] = None
+
+    def initialparameters(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {"phi": self.phi.initialparameters(k1),
+                "psi": self.psi.initialparameters(k2)}
+
+    def initialstates(self, rng):
+        k1, k2 = jax.random.split(rng)
+        st = {"phi": self.phi.initialstates(k1),
+              "psi": self.psi.initialstates(k2),
+              "graph": self.initialgraph() if self.initialgraph else None}
+        st["theta"] = jnp.zeros((1, self.theta_dim), jnp.float32)
+        return st
+
+    def __call__(self, x, ps, st):
+        from .halo import sharded_propagate
+
+        pg: PartitionedGraph = st["graph"]
+        nd = [pg.ndata[k] for k in sorted(pg.ndata)]
+        fh = x.shape[-1]
+        widths = [v.shape[-1] for v in nd]
+        x_aug = jnp.concatenate(
+            [x] + [v.astype(x.dtype) for v in nd], axis=-1)
+        theta = st["theta"]
+        theta_e = None
+        cell = {"phi": st["phi"]}
+
+        def message(xi, xj, e):
+            hi, hj = xi[:, :fh], xj[:, :fh]
+            di, dj = xi[:, fh:], xj[:, fh:]
+            th = jnp.broadcast_to(theta.astype(x.dtype),
+                                  (hi.shape[0], theta.shape[1]))
+            feats = jnp.concatenate([hi, hj, di - dj, th], axis=-1)
+            m, cell["phi"] = self.phi(feats, ps["phi"], cell["phi"])
+            return m
+
+        m = sharded_propagate(pg, message, x_aug, self.mesh, aggr=self.aggr,
+                              axis_name=self.axis_name)
+        th_n = jnp.broadcast_to(theta.astype(x.dtype),
+                                (x.shape[0], theta.shape[1]))
+        y, st_psi = self.psi(
+            jnp.concatenate([x, m, th_n], axis=-1), ps["psi"], st["psi"])
+        return y, {**st, "phi": cell["phi"], "psi": st_psi}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ShardedGNOConv(Layer):
+    """Edge-partitioned GNOConv: per-edge kernel MLP over gathered ndata
+    pairs (through the halo), per-edge matvec, receiver mean/sum."""
+
+    in_chs: int
+    out_chs: int
+    phi: Layer
+    activation: Optional[str] = None
+    mesh: Optional[Mesh] = None
+    aggr: str = "mean"
+    use_bias: bool = True
+    axis_name: str = GRAPH_AXIS
+    initialgraph: Optional[Callable] = None
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "linear",
+            Dense(self.in_chs, self.out_chs, None, use_bias=self.use_bias))
+
+    def initialparameters(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {"linear": self.linear.initialparameters(k1),
+                "phi": self.phi.initialparameters(k2)}
+
+    def initialstates(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {"linear": self.linear.initialstates(k1),
+                "phi": self.phi.initialstates(k2),
+                "graph": self.initialgraph() if self.initialgraph else None}
+
+    def __call__(self, x, ps, st):
+        from .halo import sharded_propagate
+
+        pg: PartitionedGraph = st["graph"]
+        nd = [pg.ndata[k] for k in sorted(pg.ndata)]
+        fh = x.shape[-1]
+        x_aug = jnp.concatenate(
+            [x] + [v.astype(x.dtype) for v in nd], axis=-1)
+        cell = {"phi": st["phi"]}
+
+        def message(xi, xj, e):
+            hi_s, si = xi[:, :fh], xi[:, fh:]
+            hj, sj = xj[:, :fh], xj[:, fh:]
+            w, cell["phi"] = self.phi(
+                jnp.concatenate([si, sj], axis=-1), ps["phi"], cell["phi"])
+            w = w.reshape(-1, self.in_chs, self.out_chs)
+            return jnp.einsum("eio,ei->eo", w, hj)
+
+        m = sharded_propagate(pg, message, x_aug, self.mesh, aggr=self.aggr,
+                              axis_name=self.axis_name)
+        y = jnp.dot(x, ps["linear"]["weight"],
+                    preferred_element_type=x.dtype) + m
+        if self.use_bias:
+            y = y + ps["linear"]["bias"]
+        from ..nn.basic import resolve_activation
+
+        return resolve_activation(self.activation)(y), {
+            **st, "phi": cell["phi"]}
+
+
 def sharded_grand_model(
     in_dims: int,
     hidden_dims: int,

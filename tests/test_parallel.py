@@ -279,3 +279,54 @@ def test_sharded_spmm_tiled_pallas(mesh):
     gx_ref = jax.grad(lambda xp: jnp.sum(
         sharded_spmm(pg_x, xp, mesh)[: g.num_nodes] ** 2))(xp)
     assert np.allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
+
+
+def test_sharded_mppde_matches_single_device(mesh):
+    from neuralgraphpde import Dense, MPPDEConv
+    from neuralgraphpde.parallel import ShardedMPPDEConv
+
+    rng = np.random.default_rng(14)
+    nd = {"u": rng.normal(size=(48, 2)).astype(np.float32),
+          "x": rng.normal(size=(48, 1)).astype(np.float32)}
+    g = rand_graph(48, 240, seed=14, ndata=nd)
+    h = rng.normal(size=(48, 4)).astype(np.float32)
+    phi = Dense(4 + 4 + 3, 6, "tanh")
+    psi = Dense(4 + 6, 5)
+
+    l = MPPDEConv(phi, psi, initialgraph=g)
+    ps, st = setup(jax.random.PRNGKey(6), l)
+    want, _ = l(jnp.asarray(h), ps, st)
+
+    pg = partition_graph(g, NDEV, halo=True)
+    ld = ShardedMPPDEConv(phi, psi, mesh=mesh, theta_dim=0,
+                          initialgraph=lambda: pg)
+    std = ld.initialstates(jax.random.PRNGKey(6))
+    std["theta"] = jnp.zeros((1, 0), jnp.float32)
+    hp = shard_node_features(pad_node_features(h, pg), pg, mesh)
+    got, _ = ld(hp, ps, std)
+    assert np.allclose(np.asarray(got)[:48], np.asarray(want), atol=1e-5)
+
+
+def test_sharded_gno_matches_single_device(mesh):
+    from neuralgraphpde import Dense, GNOConv
+    from neuralgraphpde.parallel import ShardedGNOConv
+
+    rng = np.random.default_rng(15)
+    nd = {"a": rng.normal(size=(40, 2)).astype(np.float32),
+          "x": rng.normal(size=(40, 2)).astype(np.float32)}
+    g = rand_graph(40, 200, seed=15, ndata=nd)
+    in_chs, out_chs = 3, 4
+    h = rng.normal(size=(40, in_chs)).astype(np.float32)
+    phi = Dense(8, in_chs * out_chs)
+
+    l = GNOConv(in_chs, out_chs, phi, "tanh", initialgraph=g)
+    ps, st = setup(jax.random.PRNGKey(7), l)
+    want, _ = l(jnp.asarray(h), ps, st)
+
+    pg = partition_graph(g, NDEV, halo=True)
+    ld = ShardedGNOConv(in_chs, out_chs, phi, "tanh", mesh=mesh,
+                        initialgraph=lambda: pg)
+    std = ld.initialstates(jax.random.PRNGKey(7))
+    hp = shard_node_features(pad_node_features(h, pg), pg, mesh)
+    got, _ = ld(hp, ps, std)
+    assert np.allclose(np.asarray(got)[:40], np.asarray(want), atol=1e-5)
