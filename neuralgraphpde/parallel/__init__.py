@@ -1,6 +1,7 @@
 from .partition import (
     PartitionedGraph,
     partition_graph,
+    reorder_for_partition,
     pad_node_features,
     unpad_node_features,
 )
@@ -18,7 +19,7 @@ from .layers import (ShardedGCNConv, ShardedVMHConv, ShardedMPPDEConv,
 from .tp import shard_mlp_params, replicate_params
 
 __all__ = [
-    "PartitionedGraph", "partition_graph", "pad_node_features",
+    "PartitionedGraph", "partition_graph", "reorder_for_partition", "pad_node_features",
     "unpad_node_features", "GRAPH_AXIS", "make_mesh", "sharded_spmm",
     "sharded_gcn_forward", "sharded_propagate", "shard_node_features", "replicate",
     "ShardedGCNConv", "ShardedVMHConv", "ShardedMPPDEConv", "ShardedGNOConv",

@@ -259,6 +259,36 @@ def partition_graph(
     )
 
 
+def reorder_for_partition(g: GnnGraph, num_partitions: int):
+    """Relabel nodes so a degree-balanced partition becomes contiguous.
+
+    Uses the native greedy partitioner (csrc/graph_ops.cpp) to assign each
+    node's receiver-edge block to the lightest partition, then permutes node
+    ids so each partition's nodes are contiguous — the layout
+    ``partition_graph`` expects. Returns ``(g_relabeled, perm)`` where
+    ``perm[new_id] = old_id`` (permute features/labels with ``x[perm]``).
+    """
+    from .. import native
+
+    if g.host_coo is not None:
+        s, r = g.host_coo
+    else:
+        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    part = native.greedy_partition(r, g.num_nodes, num_partitions)
+    perm = np.argsort(part * (g.num_nodes + 1) + np.arange(g.num_nodes),
+                      kind="stable").astype(np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(g.num_nodes)
+    g2 = GnnGraph.from_coo(
+        inv[s].astype(np.int32), inv[r].astype(np.int32),
+        num_nodes=g.num_nodes,
+        ndata={k: np.asarray(v)[perm] for k, v in g.ndata.items()},
+        edata=g.edata or None,
+        gdata=g.gdata or None,
+    )
+    return g2, perm
+
+
 def pad_node_features(x: np.ndarray, pg: PartitionedGraph) -> np.ndarray:
     """Pad (N, F) node features to (P * nodes_per_part, F)."""
     pad = pg.padded_nodes - x.shape[0]
