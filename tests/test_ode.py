@@ -181,3 +181,22 @@ def test_solve_stats_counts_steps():
     assert attempts.shape == (2,)
     assert int(attempts.sum()) > 0
     assert np.allclose(float(ys[-1]), np.exp(-2.0), atol=1e-5)
+
+
+@pytest.mark.parametrize("solver,order", [
+    ("euler", 1), ("midpoint", 2), ("heun", 2), ("rk4", 4),
+])
+def test_fixed_solver_convergence_order(solver, order):
+    """Halving the step size must reduce error by ~2^order."""
+    rhs = lambda t, y, args: -2.0 * y
+    ts = jnp.asarray([0.0, 1.0])
+    exact = np.exp(-2.0)
+
+    def err(n):
+        y = odeint_grid(rhs, jnp.ones(()), ts, solver=solver,
+                        steps_per_interval=n)
+        return abs(float(y[-1]) - exact)
+
+    e1, e2 = err(16), err(32)
+    rate = np.log2(e1 / max(e2, 1e-12))
+    assert rate > order - 0.6, f"{solver}: observed rate {rate}"
