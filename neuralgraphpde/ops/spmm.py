@@ -32,7 +32,7 @@ _SPMM_MODE = "auto"
 
 def set_spmm_mode(mode: str) -> None:
     global _SPMM_MODE
-    if mode not in ("auto", "xla", "dense", "pallas"):
+    if mode not in ("auto", "xla", "dense", "pallas", "bsr"):
         raise ValueError(f"unknown spmm mode {mode!r}")
     _SPMM_MODE = mode
 
@@ -143,6 +143,8 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "auto":
         if "adj" in g.cache and edge_weight is None:
             mode = "dense"
+        elif "bsr" in g.cache and x.ndim == 2 and edge_weight is None:
+            mode = "bsr"
         elif "tcsr" in g.cache and x.ndim == 2 and edge_weight is None:
             mode = "pallas"
         else:
@@ -152,8 +154,15 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "pallas" and ("tcsr" not in g.cache or x.ndim != 2
                              or edge_weight is not None):
         mode = "xla"
+    if mode == "bsr" and ("bsr" not in g.cache or x.ndim != 2
+                          or edge_weight is not None):
+        mode = "xla"
     if mode == "dense":
         return spmm_dense(g, x)
+    if mode == "bsr":
+        from .bsr import bsr_spmm
+
+        return bsr_spmm(g.cache["bsr"], x)
     if mode == "pallas":
         return spmm_pallas(g, x)
     return spmm_xla(g, x, edge_weight)
