@@ -35,3 +35,24 @@ def test_distributed_example():
     out = run_example(["examples/distributed_grand.py", "--cpu8",
                        "--nodes", "2000", "--degree", "6"])
     assert "steady step" in out
+
+
+def test_spectral_conv_float64_accuracy():
+    """Reproduce the reference docstring's f64 accuracy (~1e-13 per point,
+    reference src/layers.jl:590-631) — x64 needs its own process."""
+    code = """
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import jax.numpy as jnp
+from neuralgraphpde import SpectralConv, setup
+l = SpectralConv(100)
+ps, st = setup(jax.random.PRNGKey(0), l)
+x = jnp.linspace(0, 2 * jnp.pi, 101, dtype=jnp.float64)[1:]
+dy, _ = l(jnp.sin(x), ps, st)
+err = float(jnp.max(jnp.abs(dy - jnp.cos(x))))
+assert err < 1e-10, err
+print('max f64 error:', err)
+"""
+    out = run_example(["-c", code])
+    assert "max f64 error" in out
