@@ -52,6 +52,8 @@ def precompute(
     edge_weight=None,
     tn: Optional[int] = None,
     te: Optional[int] = None,
+    bsr: Optional[bool] = None,
+    bsr_tb: int = 256,
 ) -> GnnGraph:
     """Attach SpMM acceleration structure to ``g.cache``.
 
@@ -99,6 +101,14 @@ def precompute(
         # segment-summed through the Pallas kernel (custom-message layers).
         cache["tcsr_edges"] = build_tiled_csr(
             np.arange(g.num_edges, dtype=np.int64), r, g.num_nodes, **kw)
+    if bsr or (bsr is None and not dense and g.num_nodes >= 4 * bsr_tb):
+        # Mesh graphs with block-banded structure get the gather-free BSR
+        # path; the density gate inside refuses unstructured graphs.
+        from .bsr import precompute_bsr
+
+        g2 = precompute_bsr(g.copy(cache=cache), tb=bsr_tb,
+                            edge_weight=edge_weight)
+        return g2
     return g.copy(cache=cache)
 
 
