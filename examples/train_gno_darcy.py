@@ -27,7 +27,7 @@ class Config:
 
 
 def main(cfg: Config):
-    from neuralgraphpde import setup
+    from neuralgraphpde import precompute, setup, update_graph
     from neuralgraphpde.data.pde import darcy_dataset
     from neuralgraphpde.models import GNOModel
     from neuralgraphpde.train import MetricsLogger, adam, make_train_step
@@ -38,6 +38,7 @@ def main(cfg: Config):
                      ker_width=cfg.ker_width, depth=cfg.depth,
                      initialgraph=data.graph)
     ps, st = setup(jax.random.PRNGKey(cfg.seed), model)
+    st = update_graph(st, precompute(data.graph, dense=False))
 
     a_scale = float(np.abs(data.a).max())
     u_scale = float(np.abs(data.u).max())

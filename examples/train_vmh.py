@@ -33,7 +33,7 @@ class Config:
 
 
 def main(cfg: Config):
-    from neuralgraphpde import setup, update_graph
+    from neuralgraphpde import precompute, setup, update_graph
     from neuralgraphpde.data.pde import convection_diffusion_dataset
     from neuralgraphpde.models import vmh_model
     from neuralgraphpde.train import MetricsLogger, adam, make_train_step, rprop
@@ -48,8 +48,9 @@ def main(cfg: Config):
                       saveat=saveat, rtol=1e-3, atol=1e-3)
     ps, st = setup(jax.random.PRNGKey(cfg.seed), model)
     # all sims share one graph: bind it once (re-bind per batch when graphs
-    # differ — the update_graph pattern)
-    st = update_graph(st, data.graph)
+    # differ — the update_graph pattern). precompute attaches the Pallas
+    # aggregation tiling + cached degrees for the solver hot loop.
+    st = update_graph(st, precompute(data.graph, dense=False))
 
     u = jnp.asarray(data.u)  # (S, T, M, 1)
 

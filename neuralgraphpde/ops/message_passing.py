@@ -97,9 +97,10 @@ def aggregate_neighbors(
     red = canonical_reduction(aggr)
     if (red in ("sum", "mean") and "tcsr_edges" in g.cache
             and isinstance(messages, jax.Array) and messages.ndim == 2):
-        from .spmm import get_spmm_mode, segment_sum_pallas
+        from .spmm import _pallas_available, get_spmm_mode, segment_sum_pallas
 
-        if get_spmm_mode() in ("auto", "pallas"):
+        mode = get_spmm_mode()
+        if mode == "pallas" or (mode == "auto" and _pallas_available()):
             out = segment_sum_pallas(g, messages)
             if red == "mean":
                 if "in_degree" in g.cache:

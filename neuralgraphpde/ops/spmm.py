@@ -41,6 +41,16 @@ def get_spmm_mode() -> str:
     return _SPMM_MODE
 
 
+def _pallas_available() -> bool:
+    """Auto mode only picks the Pallas kernel on TPU (the CPU backend can
+    only interpret; force with set_spmm_mode('pallas') under
+    force_tpu_interpret_mode for tests)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def precompute(
     g: GnnGraph,
     *,
@@ -155,7 +165,8 @@ def spmm(g: GnnGraph, x: jax.Array,
             mode = "dense"
         elif "bsr" in g.cache and x.ndim == 2 and edge_weight is None:
             mode = "bsr"
-        elif "tcsr" in g.cache and x.ndim == 2 and edge_weight is None:
+        elif ("tcsr" in g.cache and x.ndim == 2 and edge_weight is None
+              and _pallas_available()):
             mode = "pallas"
         else:
             mode = "xla"
