@@ -32,8 +32,10 @@ def main(cfg: Config):
     from neuralgraphpde.models import GNOModel
     from neuralgraphpde.train import MetricsLogger, adam, make_train_step
 
+    # keep the radius graph connected at coarse resolutions
+    radius = max(cfg.radius, 1.6 / (cfg.n + 1))
     data = darcy_dataset(num_samples=cfg.num_samples, n=cfg.n,
-                         radius=cfg.radius, seed=cfg.seed)
+                         radius=radius, seed=cfg.seed)
     model = GNOModel(a_dim=1, pos_dim=2, width=cfg.width,
                      ker_width=cfg.ker_width, depth=cfg.depth,
                      initialgraph=data.graph)

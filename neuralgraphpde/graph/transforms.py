@@ -77,8 +77,12 @@ def sort_by_receiver(g: GnnGraph) -> GnnGraph:
     Edge features are permuted consistently. Segment reductions over sorted
     receivers let XLA/Pallas use the fast sorted path.
     """
-    if g.receivers_sorted or g.num_edges == 0:
+    if g.receivers_sorted:
         return g
+    if g.num_edges == 0:
+        import dataclasses
+
+        return dataclasses.replace(g, receivers_sorted=True)
     host_coo = None
     if g.host_coo is not None:
         # permute on host to keep the no-device-read preprocessing path
