@@ -78,7 +78,8 @@ def build_bsr(
     uniq, starts = np.unique(key_s, return_index=True)
     nnzb = len(uniq)
 
-    blocks = np.zeros((nnzb, tb, tb), dtype)
+    # accumulate in f32 (np.add.at needs a native dtype), cast at the end
+    blocks = np.zeros((nnzb, tb, tb), np.float32)
     row_blocks = (uniq // nb).astype(np.int32)
     col_blocks = (uniq % nb).astype(np.int32)
     bounds = np.concatenate([starts, [E]])
@@ -87,6 +88,12 @@ def build_bsr(
         rr = receivers[idx] - row_blocks[k] * tb
         cc = senders[idx] - col_blocks[k] * tb
         np.add.at(blocks[k], (rr, cc), w[idx])
+    if dtype != np.float32:
+        import ml_dtypes  # numpy bfloat16 support
+
+        blocks = blocks.astype(
+            ml_dtypes.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
+            else dtype)
 
     return BsrMatrix(
         blocks=jnp.asarray(blocks),
