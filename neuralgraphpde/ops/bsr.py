@@ -122,6 +122,93 @@ def bsr_spmm(bsr: BsrMatrix, x: jax.Array) -> jax.Array:
     return out[: bsr.num_nodes]
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True, eq=False)
+class BandedMatrix:
+    """Diagonal-band block storage: band ``d`` holds block ``(i, i+d)`` for
+    every block-row ``i`` (zero where absent). One batched matmul per band,
+    accumulated directly — no per-block product materialization (the BSR
+    formulation's bottleneck)."""
+
+    bands: jax.Array  # (n_bands, nb, TB, TB)
+    offsets: tuple  # static band offsets d (col_block - row_block)
+    nb: int
+    tb: int
+    num_nodes: int
+
+    def tree_flatten(self):
+        return ((self.bands,), (self.offsets, self.nb, self.tb,
+                                self.num_nodes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def build_banded(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    tb: int = 256,
+    edge_weight: Optional[np.ndarray] = None,
+    max_bands: int = 16,
+    dtype=np.float32,
+) -> Optional[BandedMatrix]:
+    """Build diagonal-band storage; None if the graph needs more than
+    ``max_bands`` distinct block-diagonals (not band-structured)."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    E = senders.shape[0]
+    w = (np.ones(E, np.float32) if edge_weight is None
+         else np.asarray(edge_weight, np.float32).reshape(-1))
+    nb = -(-num_nodes // tb)
+    rb = receivers // tb
+    cb = senders // tb
+    offsets = np.unique(cb - rb)
+    if len(offsets) > max_bands:
+        return None
+    bands = np.zeros((len(offsets), nb, tb, tb), np.float32)
+    k_of_edge = np.searchsorted(offsets, cb - rb)
+    rloc = receivers - rb * tb
+    cloc = senders - cb * tb
+    flat = ((k_of_edge * nb + rb) * tb + rloc) * tb + cloc
+    np.add.at(bands.reshape(-1), flat, w)
+    if dtype != np.float32:
+        import ml_dtypes
+
+        bands = bands.astype(
+            ml_dtypes.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
+            else dtype)
+    return BandedMatrix(bands=jnp.asarray(bands),
+                        offsets=tuple(int(d) for d in offsets),
+                        nb=nb, tb=tb, num_nodes=num_nodes)
+
+
+def banded_spmm(bm: BandedMatrix, x: jax.Array) -> jax.Array:
+    """``out = A @ x`` via one batched matmul per diagonal band."""
+    tb, nb = bm.tb, bm.nb
+    n_pad = nb * tb
+    if x.shape[0] != n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    xb = x.reshape(nb, tb, x.shape[1])
+    out = jnp.zeros((nb, tb, x.shape[1]), jnp.float32)
+    for k, d in enumerate(bm.offsets):
+        # x block column i+d for each row i, zero-padded at the boundary
+        if d == 0:
+            shifted = xb
+        elif d > 0:
+            shifted = jnp.concatenate(
+                [xb[d:], jnp.zeros((d, tb, x.shape[1]), x.dtype)], axis=0)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros((-d, tb, x.shape[1]), x.dtype), xb[:d]], axis=0)
+        out = out + jnp.einsum("bij,bjf->bif",
+                               bm.bands[k].astype(x.dtype), shifted,
+                               preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(n_pad, -1)[: bm.num_nodes]
+
+
 def precompute_bsr(
     g: GnnGraph,
     *,

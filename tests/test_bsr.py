@@ -72,3 +72,41 @@ def test_bsr_gradient():
     ga = jax.grad(loss_bsr)(x)
     gb = jax.grad(loss_ref)(x)
     assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
+
+
+def test_banded_matches_reference():
+    from neuralgraphpde.ops.bsr import banded_spmm, build_banded
+
+    g = grid_graph_2d(20, 20)
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    n = g.num_nodes
+    bm = build_banded(s, r, n, tb=32)
+    assert bm is not None
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(n, 8))
+                    .astype(np.float32))
+    got = np.asarray(banded_spmm(bm, x))
+    want = np.asarray(spmm_xla(g, x))
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_banded_refuses_unstructured():
+    from neuralgraphpde.ops.bsr import build_banded
+
+    gr = rand_graph(512, 4000, seed=6)
+    bm = build_banded(np.asarray(gr.senders), np.asarray(gr.receivers),
+                      512, tb=32, max_bands=8)
+    assert bm is None
+
+
+def test_banded_gradient():
+    from neuralgraphpde.ops.bsr import banded_spmm, build_banded
+
+    g = grid_graph_2d(8, 8)
+    bm = build_banded(np.asarray(g.senders), np.asarray(g.receivers),
+                      g.num_nodes, tb=16)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(64, 4))
+                    .astype(np.float32))
+    ga = jax.grad(lambda x: jnp.sum(banded_spmm(bm, x) ** 2))(x)
+    gb = jax.grad(lambda x: jnp.sum(spmm_xla(g, x) ** 2))(x)
+    assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
