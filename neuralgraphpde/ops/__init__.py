@@ -28,7 +28,8 @@ from .message_passing import (
     softmax_edge_neighbors,
 )
 from .spmm import spmm, precompute, set_spmm_mode, get_spmm_mode
-from .bsr import BsrMatrix, build_bsr, bsr_spmm, precompute_bsr
+from .bsr import (BsrMatrix, BandedMatrix, build_bsr, bsr_spmm,
+                  build_banded, banded_spmm, precompute_bsr)
 
 __all__ = [
     "gather", "segment_sum", "segment_mean", "segment_max", "segment_min",
@@ -37,6 +38,6 @@ __all__ = [
     "xi_sub_xj", "xj_sub_xi", "e_mul_xj", "w_mul_xj", "reduce_nodes",
     "reduce_edges", "broadcast_nodes", "broadcast_edges", "softmax_nodes",
     "softmax_edges", "softmax_edge_neighbors", "spmm", "precompute",
-    "set_spmm_mode", "get_spmm_mode", "BsrMatrix", "build_bsr", "bsr_spmm",
-    "precompute_bsr",
+    "set_spmm_mode", "get_spmm_mode", "BsrMatrix", "BandedMatrix", "build_bsr", "bsr_spmm", "build_banded",
+    "banded_spmm", "precompute_bsr",
 ]

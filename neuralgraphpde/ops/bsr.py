@@ -166,7 +166,9 @@ def build_banded(
     rb = receivers // tb
     cb = senders // tb
     offsets = np.unique(cb - rb)
-    if len(offsets) > max_bands:
+    # refuse unstructured graphs: bands must be few AND a small fraction of
+    # all possible diagonals (otherwise this is just a dense matrix)
+    if len(offsets) > max_bands or len(offsets) >= max((2 * nb - 1) // 2, 2):
         return None
     bands = np.zeros((len(offsets), nb, tb, tb), np.float32)
     k_of_edge = np.searchsorted(offsets, cb - rb)
@@ -217,13 +219,19 @@ def precompute_bsr(
     max_density: float = 0.25,
     dtype=np.float32,
 ) -> GnnGraph:
-    """Attach a BSR packing to ``g.cache['bsr']`` when the graph is
-    block-sparse enough (density ≤ ``max_density``); otherwise returns ``g``
-    unchanged (the gather paths stay in charge)."""
+    """Attach block storage to ``g.cache`` when the graph is block-sparse
+    enough: diagonal-banded (``cache['banded']``, preferred — no product
+    materialization) when few bands suffice, else packed BSR
+    (``cache['bsr']``) under the density gate; unstructured graphs are
+    returned unchanged (the gather paths stay in charge)."""
     if g.host_coo is not None:
         s, r = g.host_coo
     else:
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    banded = build_banded(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,
+                          dtype=dtype)
+    if banded is not None:
+        return g.copy(cache={**g.cache, "banded": banded})
     bsr = build_bsr(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,
                     dtype=dtype)
     if bsr.density > max_density:

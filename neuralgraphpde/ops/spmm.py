@@ -163,7 +163,8 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "auto":
         if "adj" in g.cache and edge_weight is None:
             mode = "dense"
-        elif "bsr" in g.cache and x.ndim == 2 and edge_weight is None:
+        elif (("banded" in g.cache or "bsr" in g.cache) and x.ndim == 2
+              and edge_weight is None):
             mode = "bsr"
         elif ("tcsr" in g.cache and x.ndim == 2 and edge_weight is None
               and _pallas_available()):
@@ -175,14 +176,16 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "pallas" and ("tcsr" not in g.cache or x.ndim != 2
                              or edge_weight is not None):
         mode = "xla"
-    if mode == "bsr" and ("bsr" not in g.cache or x.ndim != 2
-                          or edge_weight is not None):
+    if mode == "bsr" and (("bsr" not in g.cache and "banded" not in g.cache)
+                          or x.ndim != 2 or edge_weight is not None):
         mode = "xla"
     if mode == "dense":
         return spmm_dense(g, x)
     if mode == "bsr":
-        from .bsr import bsr_spmm
+        from .bsr import banded_spmm, bsr_spmm
 
+        if "banded" in g.cache:
+            return banded_spmm(g.cache["banded"], x)
         return bsr_spmm(g.cache["bsr"], x)
     if mode == "pallas":
         return spmm_pallas(g, x)

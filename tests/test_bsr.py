@@ -43,8 +43,8 @@ def test_bsr_density_gate_and_dispatch():
     # spatial mesh: low block density -> cached and dispatched
     g = grid_graph_2d(32, 32)
     gp = precompute_bsr(g, tb=64)
-    assert "bsr" in gp.cache
-    assert gp.cache["bsr"].density < 0.25
+    # banded storage wins for the grid; packed BSR is the fallback
+    assert "banded" in gp.cache or "bsr" in gp.cache
     x = jnp.asarray(np.random.default_rng(2).normal(size=(1024, 8))
                     .astype(np.float32))
     want = np.asarray(spmm_xla(g, x))
@@ -54,17 +54,18 @@ def test_bsr_density_gate_and_dispatch():
     # random graph: dense blocks -> gate refuses
     gr = rand_graph(256, 8000, seed=3)
     gr2 = precompute_bsr(gr, tb=32)
-    assert "bsr" not in gr2.cache
+    assert "bsr" not in gr2.cache and "banded" not in gr2.cache
 
 
 def test_bsr_gradient():
     g = grid_graph_2d(8, 8)
-    gp = precompute_bsr(g, tb=16, max_density=1.0)  # tiny graph: band covers most blocks
+    bsr = build_bsr(np.asarray(g.senders), np.asarray(g.receivers),
+                    g.num_nodes, tb=16)
     x = jnp.asarray(np.random.default_rng(4).normal(size=(64, 4))
                     .astype(np.float32))
 
     def loss_bsr(x):
-        return jnp.sum(bsr_spmm(gp.cache["bsr"], x) ** 2)
+        return jnp.sum(bsr_spmm(bsr, x) ** 2)
 
     def loss_ref(x):
         return jnp.sum(spmm_xla(g, x) ** 2)
