@@ -103,10 +103,11 @@ def test_banded_refuses_unstructured():
 def test_banded_gradient():
     from neuralgraphpde.ops.bsr import banded_spmm, build_banded
 
-    g = grid_graph_2d(8, 8)
+    g = grid_graph_2d(16, 16)
     bm = build_banded(np.asarray(g.senders), np.asarray(g.receivers),
                       g.num_nodes, tb=16)
-    x = jnp.asarray(np.random.default_rng(6).normal(size=(64, 4))
+    assert bm is not None
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(256, 4))
                     .astype(np.float32))
     ga = jax.grad(lambda x: jnp.sum(banded_spmm(bm, x) ** 2))(x)
     gb = jax.grad(lambda x: jnp.sum(spmm_xla(g, x) ** 2))(x)
