@@ -138,6 +138,16 @@ class GCNConv(AbstractGNNLayer):
                 f"got {edge_weight.shape[0]})")
 
         if self.add_self_loops:
+            if any(k in g.cache for k in ("adj", "tcsr", "banded", "bsr")):
+                import warnings
+
+                warnings.warn(
+                    "GCNConv(add_self_loops=True) rebuilds the graph each "
+                    "forward, discarding the SpMM structure attached by "
+                    "ops.precompute — aggregation falls back to the scatter "
+                    "path. Precompute on the self-looped graph instead: "
+                    "g = precompute(add_self_loops(g)) and construct the "
+                    "layer with add_self_loops=False.", stacklevel=2)
             g = _add_self_loops(g)
             if edge_weight is not None:
                 # Pad new self-loop edges with unit weight (reference

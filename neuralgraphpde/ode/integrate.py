@@ -160,37 +160,99 @@ def _initial_step_size(rhs, t0, y0, f0, args, order, rtol, atol):
     return jnp.minimum(100.0 * h0, h1)
 
 
-def _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args):
+def _hermite_eval(t0, y0, f0, t1, y1, f1, t):
+    """Cubic Hermite interpolant over [t0, t1] evaluated at ``t`` (pytrees)."""
+    h = t1 - t0
+    theta = (t - t0) / h
+    th2 = theta * theta
+    th3 = th2 * theta
+    c_y0 = 2.0 * th3 - 3.0 * th2 + 1.0
+    c_f0 = h * (th3 - 2.0 * th2 + theta)
+    c_y1 = -2.0 * th3 + 3.0 * th2
+    c_f1 = h * (th3 - th2)
+    return map_tree(
+        lambda a, da, b, db: c_y0 * a + c_f0 * da + c_y1 * b + c_f1 * db,
+        y0, f0, y1, f1)
+
+
+def _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args,
+                         interpolate: bool = True):
     f0 = rhs(ts[0], y0, args)
     dt0 = _initial_step_size(rhs, ts[0], y0, f0, args, tab.order, rtol, atol)
 
+    if not interpolate:
+        # tstop semantics: steps clamped to land exactly on each save point
+        def interval(carry, target_t):
+            def cond(state):
+                _, _, t, _, n = state
+                return (t < target_t) & (n < max_steps)
+
+            def body(state):
+                y, f, t, dt, n = state
+                dt_c = jnp.minimum(dt, target_t - t)
+                y1, err, f_last = _rk_step(rhs, tab, t, y, dt_c, f, args)
+                ratio = _error_ratio(err, y, y1, rtol, atol)
+                accept = ratio <= 1.0
+                f1 = f_last if tab.fsal else rhs(t + dt_c, y1, args)
+                y = _tree_where(accept, y1, y)
+                f = _tree_where(accept, f1, f)
+                t = jnp.where(accept, t + dt_c, t)
+                dt = _optimal_dt(dt_c, ratio, tab.order)
+                return y, f, t, dt, n + 1
+
+            y, f, t, dt, n = lax.while_loop(cond, body, carry)
+            return (y, f, t, dt, n), y
+
+        init = (y0, f0, ts[0], dt0, jnp.zeros((), jnp.int32))
+
+        def scan_body(carry, target_t):
+            y, f, t, dt, _ = carry
+            carry, y_out = interval((y, f, t, dt, jnp.zeros((), jnp.int32)),
+                                    target_t)
+            return carry, y_out
+
+        _, ys_tail = lax.scan(scan_body, init, ts[1:])
+        return map_tree(
+            lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+            y0, ys_tail)
+
+    # Dense output: free stepping (the controller's dt is never clamped to a
+    # save point), save values read off a cubic Hermite interpolant over the
+    # last accepted step — DiffEq's ``saveat`` semantics (reference
+    # docs/src/tutorials/VMH.md:87). One free step may cross several save
+    # points: the while-loop then runs zero iterations for the later ones and
+    # the same step's interpolant serves them all.
     def interval(carry, target_t):
         def cond(state):
-            _, _, t, _, n = state
+            _, _, _, t, _, _, _, n = state
             return (t < target_t) & (n < max_steps)
 
         def body(state):
-            y, f, t, dt, n = state
-            dt_c = jnp.minimum(dt, target_t - t)
-            y1, err, f_last = _rk_step(rhs, tab, t, y, dt_c, f, args)
+            tp, yp, fp, t, y, f, dt, n = state
+            y1, err, f_last = _rk_step(rhs, tab, t, y, dt, f, args)
             ratio = _error_ratio(err, y, y1, rtol, atol)
             accept = ratio <= 1.0
-            f1 = f_last if tab.fsal else rhs(t + dt_c, y1, args)
+            f1 = f_last if tab.fsal else rhs(t + dt, y1, args)
+            tp = jnp.where(accept, t, tp)
+            yp = _tree_where(accept, y, yp)
+            fp = _tree_where(accept, f, fp)
             y = _tree_where(accept, y1, y)
             f = _tree_where(accept, f1, f)
-            t = jnp.where(accept, t + dt_c, t)
-            dt = _optimal_dt(dt_c, ratio, tab.order)
-            return y, f, t, dt, n + 1
+            t = jnp.where(accept, t + dt, t)
+            dt = _optimal_dt(dt, ratio, tab.order)
+            return tp, yp, fp, t, y, f, dt, n + 1
 
-        y, f, t, dt, n = lax.while_loop(cond, body, carry)
-        return (y, f, t, dt, n), y
+        state = lax.while_loop(cond, body, carry)
+        tp, yp, fp, t, y, f, dt, _ = state
+        y_save = _hermite_eval(tp, yp, fp, t, y, f, target_t)
+        return state, y_save
 
-    init = (y0, f0, ts[0], dt0, jnp.zeros((), jnp.int32))
+    init = (ts[0], y0, f0, ts[0], y0, f0, dt0, jnp.zeros((), jnp.int32))
 
     def scan_body(carry, target_t):
-        y, f, t, dt, _ = carry
-        carry, y_out = interval((y, f, t, dt, jnp.zeros((), jnp.int32)),
-                                target_t)
+        tp, yp, fp, t, y, f, dt, _ = carry
+        carry, y_out = interval(
+            (tp, yp, fp, t, y, f, dt, jnp.zeros((), jnp.int32)), target_t)
         return carry, y_out
 
     _, ys_tail = lax.scan(scan_body, init, ts[1:])
@@ -199,17 +261,20 @@ def _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args):
         y0, ys_tail)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _odeint_adaptive(rhs, tab, rtol, atol, max_steps, y0, ts, args):
-    return _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _odeint_adaptive(rhs, tab, rtol, atol, max_steps, interpolate, y0, ts,
+                     args):
+    return _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args,
+                                interpolate=interpolate)
 
 
-def _fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args):
-    ys = _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args)
+def _fwd(rhs, tab, rtol, atol, max_steps, interpolate, y0, ts, args):
+    ys = _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args,
+                              interpolate=interpolate)
     return ys, (ys, ts, args)
 
 
-def _bwd(rhs, tab, rtol, atol, max_steps, res, g):
+def _bwd(rhs, tab, rtol, atol, max_steps, interpolate, res, g):
     """Continuous backsolve adjoint (optimise-then-discretise), integrating
     the augmented system [y, ȳ, t̄, ārgs] backwards between save points —
     structurally the approach of jax.experimental.ode, adapted to the
@@ -239,8 +304,10 @@ def _bwd(rhs, tab, rtol, atol, max_steps, res, g):
         t0_bar = t0_bar - t_bar
         aug0 = (y_i, y_bar, t0_bar, args_bar)
         span = jnp.stack([-ts[i], -ts[i - 1]])
+        # backward sweeps always clamp to the span endpoint (exactness of the
+        # adjoint endpoint matters more than the forced-step cost here)
         aug_T = _odeint_adaptive_fwd(aug_dynamics, tab, rtol, atol, max_steps,
-                                     aug0, span, args)
+                                     aug0, span, args, interpolate=False)
         _, y_bar, t0_bar, args_bar = map_tree(lambda l: l[-1], aug_T)
         y_bar = map_tree(lambda a, b: a + b,
                          y_bar, map_tree(lambda l: l[i - 1], g))
@@ -266,12 +333,22 @@ def odeint(
     rtol: float = 1e-6,
     atol: float = 1e-6,
     max_steps: int = 10_000,
+    interpolation: str = "hermite",
 ) -> Any:
     """Adaptive solve saving at ``ts`` (``ts[0]`` is the initial time).
 
-    The solver steps are clamped to land exactly on each save point (tstops
-    semantics). Reverse-mode differentiable via the backsolve adjoint.
+    ``interpolation="hermite"`` (default): the controller steps freely and
+    save values come from the cubic Hermite dense output of the step that
+    crosses each save point — DiffEq ``saveat`` semantics, no forced step
+    endpoints (important when save points are dense, e.g. rollout training).
+    The interpolant is 3rd-order: per-save error is O(dt_step^4), which can
+    exceed ``rtol`` when the controller takes large steps over easy dynamics;
+    use ``interpolation="tstop"`` (steps clamped to land exactly on each
+    save point) when save values must carry full solver accuracy.
+    Reverse-mode differentiable via the backsolve adjoint either way.
     """
+    if interpolation not in ("hermite", "tstop"):
+        raise ValueError("interpolation must be 'hermite' or 'tstop'")
     tab = get_tableau(solver)
     if not tab.adaptive:
         raise ValueError(
@@ -288,7 +365,8 @@ def odeint(
         inner_args, consts = packed
         return converted(t, y, inner_args, *consts)
 
-    return _odeint_adaptive(rhs2, tab, rtol, atol, max_steps, y0, ts,
+    return _odeint_adaptive(rhs2, tab, rtol, atol, max_steps,
+                            interpolation == "hermite", y0, ts,
                             (args, consts))
 
 

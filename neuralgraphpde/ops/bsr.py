@@ -113,7 +113,11 @@ def bsr_spmm(bsr: BsrMatrix, x: jax.Array) -> jax.Array:
         x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     xb = x.reshape(bsr.num_col_blocks, tb, x.shape[1])
     gathered = jnp.take(xb, bsr.col_blocks, axis=0)  # (nnzb, TB, F)
-    prods = jnp.einsum("bij,bjf->bif", bsr.blocks.astype(x.dtype), gathered,
+    # blocks stored bf16 (precompute opt-in) pull the activations down to
+    # bf16 too — double MXU rate, f32 accumulation via preferred_element_type
+    cdt = (jnp.bfloat16 if bsr.blocks.dtype == jnp.bfloat16 else x.dtype)
+    prods = jnp.einsum("bij,bjf->bif", bsr.blocks.astype(cdt),
+                       gathered.astype(cdt),
                        preferred_element_type=jnp.float32)
     out_b = jax.ops.segment_sum(
         prods, bsr.row_blocks, num_segments=bsr.num_row_blocks,
@@ -193,7 +197,8 @@ def banded_spmm(bm: BandedMatrix, x: jax.Array) -> jax.Array:
     n_pad = nb * tb
     if x.shape[0] != n_pad:
         x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-    xb = x.reshape(nb, tb, x.shape[1])
+    cdt = (jnp.bfloat16 if bm.bands.dtype == jnp.bfloat16 else x.dtype)
+    xb = x.astype(cdt).reshape(nb, tb, x.shape[1])
     out = jnp.zeros((nb, tb, x.shape[1]), jnp.float32)
     for k, d in enumerate(bm.offsets):
         # x block column i+d for each row i, zero-padded at the boundary
@@ -201,12 +206,12 @@ def banded_spmm(bm: BandedMatrix, x: jax.Array) -> jax.Array:
             shifted = xb
         elif d > 0:
             shifted = jnp.concatenate(
-                [xb[d:], jnp.zeros((d, tb, x.shape[1]), x.dtype)], axis=0)
+                [xb[d:], jnp.zeros((d, tb, x.shape[1]), cdt)], axis=0)
         else:
             shifted = jnp.concatenate(
-                [jnp.zeros((-d, tb, x.shape[1]), x.dtype), xb[:d]], axis=0)
+                [jnp.zeros((-d, tb, x.shape[1]), cdt), xb[:d]], axis=0)
         out = out + jnp.einsum("bij,bjf->bif",
-                               bm.bands[k].astype(x.dtype), shifted,
+                               bm.bands[k].astype(cdt), shifted,
                                preferred_element_type=jnp.float32)
     return out.astype(x.dtype).reshape(n_pad, -1)[: bm.num_nodes]
 

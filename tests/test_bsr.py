@@ -112,3 +112,52 @@ def test_banded_gradient():
     ga = jax.grad(lambda x: jnp.sum(banded_spmm(bm, x) ** 2))(x)
     gb = jax.grad(lambda x: jnp.sum(spmm_xla(g, x) ** 2))(x)
     assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
+
+
+def test_banded_bf16_blocks():
+    """bf16-stored bands compute in bf16 (MXU double rate) with f32
+    accumulation; output dtype follows x; error stays at bf16 level."""
+    from neuralgraphpde.ops.bsr import banded_spmm, build_banded
+
+    g = grid_graph_2d(20, 20)
+    s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(g.num_nodes, 8))
+                    .astype(np.float32))
+    bm16 = build_banded(s, r, g.num_nodes, tb=32, dtype=jnp.bfloat16)
+    assert bm16 is not None and bm16.bands.dtype == jnp.bfloat16
+    y16 = banded_spmm(bm16, x)
+    assert y16.dtype == x.dtype
+    want = np.asarray(spmm_xla(g, x))
+    rel = (np.linalg.norm(np.asarray(y16) - want) / np.linalg.norm(want))
+    assert rel < 2e-2  # bf16 mantissa, f32 accumulate
+
+
+def test_bsr_bf16_blocks():
+    from neuralgraphpde.ops.bsr import bsr_spmm, build_bsr
+
+    g = grid_graph_2d(16, 16)
+    s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(g.num_nodes, 8))
+                    .astype(np.float32))
+    bsr = build_bsr(s, r, g.num_nodes, tb=16, dtype=jnp.bfloat16)
+    y = bsr_spmm(bsr, x)
+    assert y.dtype == x.dtype
+    want = np.asarray(spmm_xla(g, x))
+    rel = np.linalg.norm(np.asarray(y) - want) / np.linalg.norm(want)
+    assert rel < 2e-2
+
+
+def test_gcn_warns_when_self_loops_drop_cache():
+    import warnings
+
+    from neuralgraphpde import GCNConv, precompute, setup, update_graph
+
+    g = precompute(grid_graph_2d(8, 8))
+    layer = GCNConv(4, 4)  # default add_self_loops=True
+    ps, st = setup(jax.random.PRNGKey(0), layer)
+    st = update_graph(st, g)
+    x = jnp.zeros((g.num_nodes, 4), jnp.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        layer(x, ps, st)
+    assert any("precompute" in str(wi.message) for wi in w)

@@ -200,3 +200,50 @@ def test_fixed_solver_convergence_order(solver, order):
     e1, e2 = err(16), err(32)
     rate = np.log2(e1 / max(e2, 1e-12))
     assert rate > order - 0.6, f"{solver}: observed rate {rate}"
+
+
+def test_odeint_dense_output_accuracy():
+    """Hermite dense output hits dense save grids accurately without
+    clamping steps to them (y' = cos t, y = sin t)."""
+    def rhs(t, y, args):
+        return jnp.cos(t)
+
+    ts = jnp.linspace(0.0, 3.0, 61)  # save grid much denser than step size
+    y_h = odeint(rhs, jnp.zeros(()), ts, rtol=1e-7, atol=1e-9)
+    y_t = odeint(rhs, jnp.zeros(()), ts, rtol=1e-7, atol=1e-9,
+                 interpolation="tstop")
+    want = np.sin(np.asarray(ts))
+    # cubic Hermite is 3rd-order: interpolation error ~ (dt^4/384)·|y''''|
+    # with the big free steps this easy RHS allows — O(1e-4) here
+    assert np.allclose(np.asarray(y_h), want, atol=3e-4)
+    assert np.allclose(np.asarray(y_t), want, atol=1e-6)
+    # it is interpolation, not a coarser solve: endpoints of the solve
+    # itself stay at solver accuracy
+    assert abs(float(y_h[-1]) - want[-1]) < 1e-5
+
+
+def test_odeint_dense_output_gradient():
+    def rhs(t, y, args):
+        return -args * y
+
+    ts = jnp.linspace(0.0, 1.0, 11)
+
+    def loss(a):
+        return jnp.sum(odeint(rhs, jnp.ones(()), ts, a,
+                              rtol=1e-8, atol=1e-10)[-1])
+
+    g = jax.grad(loss)(jnp.asarray(0.7))
+    # d/da e^{-a} = -e^{-a}
+    assert abs(float(g) + np.exp(-0.7)) < 1e-3
+
+
+def test_odeint_interpolation_validation():
+    def rhs(t, y, args):
+        return -y
+
+    try:
+        odeint(rhs, jnp.ones(()), jnp.asarray([0.0, 1.0]),
+               interpolation="cubic?")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
