@@ -21,7 +21,8 @@ from ..graph.transforms import degree as _degree
 from ..ops.message_passing import copy_xj, e_mul_xj, propagate, w_mul_xj
 from ..ops.scatter import canonical_reduction
 from ..utils.state import drop, wrapgraph
-from .basic import Dense, glorot_uniform, resolve_activation, zeros_init
+from .basic import (Dense, glorot_normal, glorot_uniform, resolve_activation,
+                    zeros_init)
 from .core import Layer
 from .gnn import INPUT_KEY, AbstractGNNContainerLayer, AbstractGNNLayer, wrap_input
 
@@ -111,7 +112,10 @@ class GCNConv(AbstractGNNLayer):
     out_chs: int
     activation: Union[None, str, Callable] = None
     initialgraph: Callable = None
-    init_weight: Callable = glorot_uniform
+    # Reference's (Int, Int) constructor defaults to glorot_normal
+    # (src/layers.jl:178); its Pair-form ctor uses glorot_uniform (:193) —
+    # pass init_weight=glorot_uniform to match that variant.
+    init_weight: Callable = glorot_normal
     init_bias: Callable = zeros_init
     use_bias: bool = True
     add_self_loops: bool = True

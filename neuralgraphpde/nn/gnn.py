@@ -27,10 +27,6 @@ def wrap_input(x) -> Dict[str, jax.Array]:
     return {INPUT_KEY: x}
 
 
-def unwrap_output(y, x_was_dict: bool):
-    return y
-
-
 class AbstractGNNLayer(Layer):
     """Leaf GNN layer: ``initialstates`` returns ``{'graph': initialgraph()}``
     (reference src/layers.jl:23-24)."""

@@ -73,6 +73,8 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    grad_clip: Optional[float] = None,
+    nan_guard: bool = False,
 ) -> TrainState:
     """Generic fit: ``batches`` is an iterable (re-iterated per epoch) of
     argument tuples passed to ``loss_fn(params, *batch)``.
@@ -81,7 +83,16 @@ def fit(
     every ``checkpoint_every`` epochs (and at the end); ``resume=True``
     restarts from the latest checkpoint — the standard restart-from-checkpoint
     failure-recovery scheme (SURVEY §5.3: fixed mesh, no elasticity).
+
+    ``grad_clip`` chains global-norm clipping in front of the optimizer;
+    ``nan_guard=True`` raises ``FloatingPointError`` on a non-finite loss
+    (the batch index is in the message) instead of silently training on.
     """
+    import math
+
+    if grad_clip is not None:
+        optimizer = optax.chain(optax.clip_by_global_norm(grad_clip),
+                                optimizer)
     opt_state = optimizer.init(params)
     step = 0
     if resume and checkpoint_dir:
@@ -96,11 +107,21 @@ def fit(
     train_step = make_train_step(loss_fn, optimizer, donate=False)
     logger = logger or MetricsLogger()
     for epoch in range(epochs):
+        loss_sum, n_batches = 0.0, 0
         for batch in batches:
             params, opt_state, loss, _ = train_step(params, opt_state, *batch)
             step += 1
+            n_batches += 1
+            loss_f = float(loss)
+            if nan_guard and not math.isfinite(loss_f):
+                raise FloatingPointError(
+                    f"non-finite loss {loss_f} at epoch {epoch + 1}, "
+                    f"batch {n_batches} (step {step})")
+            loss_sum += loss_f
+        if n_batches == 0:
+            raise ValueError("fit(): `batches` yielded no batches")
         if (epoch + 1) % log_every == 0:
-            metrics = {"loss": float(loss), "epoch": epoch + 1}
+            metrics = {"loss": loss_sum / n_batches, "epoch": epoch + 1}
             if eval_fn is not None:
                 metrics.update(eval_fn(params))
             logger.log(step, **metrics)
