@@ -27,8 +27,11 @@ class NeuralGraphODE(ContainerLayer):
     Returns the solution stacked on a leading time axis ``(T, *u.shape)``
     (``output='all'``) or just the final state (``output='last'``).
 
-    ``adjoint='backsolve'`` uses the adaptive solver + continuous adjoint
-    (the reference's sensealg analog); ``adjoint='checkpoint'`` uses a fixed
+    Adjoints: ``'checkpoint'`` — adaptive solver + checkpointed discrete
+    adjoint (stable on dissipative dynamics; the reference's
+    InterpolatingAdjoint analog, graph_node.md:54-66); ``'backsolve'`` —
+    adaptive solver + continuous backsolve adjoint (O(1) memory, unstable on
+    stiff/diffusive RHS over long spans); ``'grid'`` — fixed
     ``steps_per_interval`` grid with per-step rematerialization.
     """
 
@@ -41,6 +44,7 @@ class NeuralGraphODE(ContainerLayer):
     max_steps: int = 10_000
     adjoint: str = "backsolve"
     steps_per_interval: int = 8
+    checkpoint_steps: int = 128
     output: str = "all"
     layer_names: Tuple[str, ...] = ("model",)
 
@@ -57,12 +61,14 @@ class NeuralGraphODE(ContainerLayer):
             return du
 
         ts = self._ts(x.dtype if hasattr(x, "dtype") else jnp.float32)
-        if self.adjoint == "checkpoint" or not get_tableau(self.solver).adaptive:
+        if self.adjoint == "grid" or not get_tableau(self.solver).adaptive:
             ys = odeint_grid(rhs, x, ts, ps, solver=self.solver,
                              steps_per_interval=self.steps_per_interval)
         else:
             ys = odeint(rhs, x, ts, ps, solver=self.solver, rtol=self.rtol,
-                        atol=self.atol, max_steps=self.max_steps)
+                        atol=self.atol, max_steps=self.max_steps,
+                        adjoint=self.adjoint,
+                        checkpoint_steps=self.checkpoint_steps)
         if self.output == "last":
             ys = jax.tree_util.tree_map(lambda l: l[-1], ys)
         return ys, st

@@ -236,7 +236,13 @@ def precompute_bsr(
     banded = build_banded(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,
                           dtype=dtype)
     if banded is not None:
-        return g.copy(cache={**g.cache, "banded": banded})
+        # Reversed-edge banded matrix = A^T: makes the Pallas streaming
+        # kernel's backward pass a second streaming pass
+        # (kernels/banded_kernels.py).
+        banded_rev = build_banded(r, s, g.num_nodes, tb=tb,
+                                  edge_weight=edge_weight, dtype=dtype)
+        return g.copy(cache={**g.cache, "banded": banded,
+                             "banded_rev": banded_rev})
     bsr = build_bsr(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,
                     dtype=dtype)
     if bsr.density > max_density:

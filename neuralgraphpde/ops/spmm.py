@@ -185,6 +185,11 @@ def spmm(g: GnnGraph, x: jax.Array,
         from .bsr import banded_spmm, bsr_spmm
 
         if "banded" in g.cache:
+            if _pallas_available():
+                from ..kernels.banded_kernels import banded_spmm_pallas
+
+                return banded_spmm_pallas(x, g.cache["banded"],
+                                          g.cache.get("banded_rev"))
             return banded_spmm(g.cache["banded"], x)
         return bsr_spmm(g.cache["bsr"], x)
     if mode == "pallas":
