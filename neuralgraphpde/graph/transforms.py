@@ -71,18 +71,21 @@ def degree(
     )
 
 
-def sort_by_receiver(g: GnnGraph) -> GnnGraph:
+def sort_by_receiver(g: GnnGraph, return_perm: bool = False):
     """Canonicalize edge order to non-decreasing receiver (CSR-ready).
 
     Edge features are permuted consistently. Segment reductions over sorted
-    receivers let XLA/Pallas use the fast sorted path.
+    receivers let XLA/Pallas use the fast sorted path. With
+    ``return_perm=True`` also returns the applied permutation (new edge slot
+    ``k`` holds old edge ``perm[k]``; identity when already sorted).
     """
     if g.receivers_sorted:
-        return g
+        return (g, np.arange(g.num_edges)) if return_perm else g
     if g.num_edges == 0:
         import dataclasses
 
-        return dataclasses.replace(g, receivers_sorted=True)
+        g2 = dataclasses.replace(g, receivers_sorted=True)
+        return (g2, np.arange(0)) if return_perm else g2
     host_coo = None
     if g.host_coo is not None:
         # permute on host to keep the no-device-read preprocessing path
@@ -96,7 +99,7 @@ def sort_by_receiver(g: GnnGraph) -> GnnGraph:
         perm = jnp.argsort(g.receivers, stable=True)
         senders = g.senders[perm]
         receivers = g.receivers[perm]
-    return GnnGraph(
+    g2 = GnnGraph(
         senders=senders,
         receivers=receivers,
         ndata=g.ndata,
@@ -109,6 +112,7 @@ def sort_by_receiver(g: GnnGraph) -> GnnGraph:
         receivers_sorted=True,
         host_coo=host_coo,
     )
+    return (g2, np.asarray(perm)) if return_perm else g2
 
 
 def csr_offsets(g: GnnGraph) -> jax.Array:

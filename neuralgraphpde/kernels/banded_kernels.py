@@ -54,8 +54,14 @@ def _banded_kernel(offs_ref, bands_ref, x_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # f32 operands must request HIGHEST precision: the MXU's default f32
+    # matmul truncates inputs to bf16 (measured 2e-2 error on-chip); bf16
+    # band storage is the explicit speed path.
+    prec = (jax.lax.Precision.HIGHEST
+            if bands_ref.dtype == jnp.float32 else None)
     out_ref[:] += jnp.dot(bands_ref[0, 0], x_ref[:],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

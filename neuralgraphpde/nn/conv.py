@@ -137,11 +137,18 @@ class GCNConv(AbstractGNNLayer):
     def __call__(self, x, ps, st, edge_weight: Optional[jax.Array] = None):
         g: GnnGraph = st["graph"]
         if edge_weight is not None and edge_weight.shape[0] != g.num_edges:
-            raise ValueError(
-                f"wrong number of edge weights (expected {g.num_edges}, "
-                f"got {edge_weight.shape[0]})")
+            # pre-self-looped graphs (precompute(add_self_loops=True)) may
+            # receive weights for the original edges only
+            if not (g.cache.get("self_looped", False)
+                    and edge_weight.shape[0] == g.num_edges - g.num_nodes):
+                raise ValueError(
+                    f"wrong number of edge weights (expected {g.num_edges}, "
+                    f"got {edge_weight.shape[0]})")
 
-        if self.add_self_loops:
+        if self.add_self_loops and not g.cache.get("self_looped", False):
+            # A graph prepared with ``ops.precompute(g, add_self_loops=True)``
+            # is already self-looped (cache flag) and keeps its fast path;
+            # otherwise the graph is rebuilt here, discarding any cache.
             if any(k in g.cache for k in ("adj", "tcsr", "banded", "bsr")):
                 import warnings
 
@@ -150,14 +157,28 @@ class GCNConv(AbstractGNNLayer):
                     "forward, discarding the SpMM structure attached by "
                     "ops.precompute — aggregation falls back to the scatter "
                     "path. Precompute on the self-looped graph instead: "
-                    "g = precompute(add_self_loops(g)) and construct the "
-                    "layer with add_self_loops=False.", stacklevel=2)
+                    "g = precompute(g, add_self_loops=True).", stacklevel=2)
             g = _add_self_loops(g)
             if edge_weight is not None:
                 # Pad new self-loop edges with unit weight (reference
                 # src/layers.jl:213-216).
                 edge_weight = jnp.concatenate(
                     [edge_weight, jnp.ones((g.num_nodes,), edge_weight.dtype)])
+        elif (self.add_self_loops and edge_weight is not None
+              and edge_weight.shape[0] != g.num_edges):
+            # pre-self-looped graph, weights given for the original edges:
+            # scatter them into the (sorted) edge order recorded by
+            # precompute; the loop edges keep unit weight (reference
+            # src/layers.jl:213-216)
+            pos = g.cache.get("orig_edge_pos")
+            if pos is None:
+                edge_weight = jnp.concatenate(
+                    [edge_weight,
+                     jnp.ones((g.num_edges - edge_weight.shape[0],),
+                              edge_weight.dtype)])
+            else:
+                edge_weight = jnp.ones(
+                    (g.num_edges,), edge_weight.dtype).at[pos].set(edge_weight)
 
         if self.out_chs < self.in_chs:
             x = jnp.dot(x, ps["weight"], preferred_element_type=x.dtype)

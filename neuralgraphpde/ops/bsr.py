@@ -174,19 +174,22 @@ def build_banded(
     # all possible diagonals (otherwise this is just a dense matrix)
     if len(offsets) > max_bands or len(offsets) >= max((2 * nb - 1) // 2, 2):
         return None
-    bands = np.zeros((len(offsets), nb, tb, tb), np.float32)
     k_of_edge = np.searchsorted(offsets, cb - rb)
     rloc = receivers - rb * tb
     cloc = senders - cb * tb
     flat = ((k_of_edge * nb + rb) * tb + rloc) * tb + cloc
-    np.add.at(bands.reshape(-1), flat, w)
-    if dtype != np.float32:
-        import ml_dtypes
-
-        bands = bands.astype(
-            ml_dtypes.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
-            else dtype)
-    return BandedMatrix(bands=jnp.asarray(bands),
+    shape = (len(offsets), nb, tb, tb)
+    jdtype = (jnp.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
+              else jnp.dtype(dtype))
+    # Build ON DEVICE by scatter-add from the edge list: host->device
+    # transfer is O(E) instead of O(bands) — matters through slow links
+    # (the axon tunnel moves ~GB band tensors in minutes, the 12B/edge
+    # index+weight stream in under a second).
+    total = int(np.prod(shape))
+    bands = jnp.zeros((total,), jnp.float32).at[
+        jnp.asarray(flat, jnp.int32 if total < 2**31 else jnp.int64)
+    ].add(jnp.asarray(w)).reshape(shape).astype(jdtype)
+    return BandedMatrix(bands=bands,
                         offsets=tuple(int(d) for d in offsets),
                         nb=nb, tb=tb, num_nodes=num_nodes)
 

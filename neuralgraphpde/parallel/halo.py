@@ -64,6 +64,26 @@ def _local_spmm_block_halo(x_block, senders_h, recv_l, emask, send_idx_p,
         xj, recv_l[0], num_segments=npp, indices_are_sorted=True)
 
 
+def _local_spmm_block_overlap(x_block, s_int, r_int, m_int, s_bnd, r_bnd,
+                              m_bnd, send_idx_p, npp, axis_name=GRAPH_AXIS):
+    """Interior/boundary-split aggregation (SURVEY §5.7 overlap plan): the
+    all_to_all is issued first, the interior segment-sum (no data dependence
+    on it) runs while it is in flight — XLA's latency-hiding scheduler
+    overlaps them — and only the short boundary pass consumes the received
+    halo rows."""
+    send_rows = jnp.take(x_block, send_idx_p[0], axis=0)  # (P, H, F)
+    halo_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
+                                   concat_axis=0, tiled=False)
+    xj_i = jnp.take(x_block, s_int[0], axis=0) * m_int[0]
+    out = jax.ops.segment_sum(
+        xj_i, r_int[0], num_segments=npp, indices_are_sorted=True)
+    tbl = halo_rows.reshape(-1, x_block.shape[-1])
+    xj_b = jnp.take(tbl, s_bnd[0], axis=0) * m_bnd[0]
+    out = out + jax.ops.segment_sum(
+        xj_b, r_bnd[0], num_segments=npp, indices_are_sorted=True)
+    return out
+
+
 def _local_spmm_block_tiled(x_block, send_idx_p, ts, tr, tw, tc,
                             tn, te, npp, axis_name=GRAPH_AXIS):
     """Halo exchange + per-device Pallas tiled-CSR kernel (the multi-chip
@@ -110,6 +130,24 @@ def sharded_spmm(
         )
         return f(x, pg.send_idx, pg.tile_senders, pg.tile_recv,
                  pg.tile_wmask, pg.tile_chunk)
+
+    if pg.senders_int is not None:
+        # overlapped interior/boundary split (preferred halo path)
+        def body(x_block, s_int, r_int, m_int, s_bnd, r_bnd, m_bnd, send_idx):
+            return _local_spmm_block_overlap(
+                x_block, s_int, r_int, m_int, s_bnd, r_bnd, m_bnd, send_idx,
+                npp, axis_name)
+
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None), P(axis_name, None, None),
+                      P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), P(axis_name, None, None)),
+            out_specs=P(axis_name, None),
+        )
+        return f(x, pg.senders_int, pg.recv_int, pg.mask_int, pg.senders_bnd,
+                 pg.recv_bnd, pg.mask_bnd, pg.send_idx)
 
     if pg.senders_halo is not None:
         def body(x_block, senders_h, recv_l, emask, send_idx):
@@ -158,27 +196,55 @@ def sharded_gcn_forward(
     """
     in_dims, out_dims = weight.shape
     npp = pg.nodes_per_part
+    use_overlap = pg.senders_int is not None
     use_halo = pg.senders_halo is not None
 
-    def body(x_block, senders, recv_l, emask, deg, nmask, *rest):
-        deg = deg[0]
+    def pre(x_block, deg):
         c = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-30)),
                       0.0)[:, None]
         h = x_block
         if out_dims < in_dims:
             h = jnp.dot(h, weight, preferred_element_type=h.dtype)
-        h = h * c
-        if use_halo:
-            agg = _local_spmm_block_halo(h, senders, recv_l, emask, rest[0],
-                                         npp, axis_name)
-        else:
-            agg = _local_spmm_block(h, senders, recv_l, emask, npp, axis_name)
+        return h * c, c
+
+    def post(agg, c, nmask):
         agg = agg * c
         if out_dims >= in_dims:
             agg = jnp.dot(agg, weight, preferred_element_type=agg.dtype)
         if bias is not None:
             agg = agg + bias
-        return activation(agg) * nmask[0]
+        return activation(agg) * nmask
+
+    if use_overlap:
+        def body(x_block, deg, nmask, s_int, r_int, m_int, s_bnd, r_bnd,
+                 m_bnd, send_idx):
+            h, c = pre(x_block, deg[0])
+            agg = _local_spmm_block_overlap(h, s_int, r_int, m_int, s_bnd,
+                                            r_bnd, m_bnd, send_idx, npp,
+                                            axis_name)
+            return post(agg, c, nmask[0])
+
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), P(axis_name, None),
+                      P(axis_name, None), P(axis_name, None, None),
+                      P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), P(axis_name, None, None)),
+            out_specs=P(axis_name, None),
+        )
+        return f(x, pg.in_degree, pg.node_mask, pg.senders_int, pg.recv_int,
+                 pg.mask_int, pg.senders_bnd, pg.recv_bnd, pg.mask_bnd,
+                 pg.send_idx)
+
+    def body(x_block, senders, recv_l, emask, deg, nmask, *rest):
+        h, c = pre(x_block, deg[0])
+        if use_halo:
+            agg = _local_spmm_block_halo(h, senders, recv_l, emask, rest[0],
+                                         npp, axis_name)
+        else:
+            agg = _local_spmm_block(h, senders, recv_l, emask, npp, axis_name)
+        return post(agg, c, nmask[0])
 
     base_specs = (P(axis_name, None), P(axis_name, None), P(axis_name, None),
                   P(axis_name, None, None), P(axis_name, None),

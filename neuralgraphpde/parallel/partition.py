@@ -52,6 +52,16 @@ class PartitionedGraph:
     halo_size: int = 0  # H (max rows any device sends any peer)
     send_idx: Optional[jax.Array] = None  # (P, P, H) int32
     senders_halo: Optional[jax.Array] = None  # (P, E_max) int32
+    # --- interior/boundary split (optional, built with halo): lets the local
+    # interior aggregation overlap with the in-flight all_to_all (SURVEY
+    # §5.7). Interior edges have a local sender; boundary senders index the
+    # *received* halo rows (q*H + h).
+    senders_int: Optional[jax.Array] = None  # (P, Ei_max) int32 local ids
+    recv_int: Optional[jax.Array] = None  # (P, Ei_max) int32
+    mask_int: Optional[jax.Array] = None  # (P, Ei_max, 1) float32
+    senders_bnd: Optional[jax.Array] = None  # (P, Eb_max) int32 halo-row ids
+    recv_bnd: Optional[jax.Array] = None  # (P, Eb_max) int32
+    mask_bnd: Optional[jax.Array] = None  # (P, Eb_max, 1) float32
     # per-partition edge features (P, E_max, F), permuted like the edges
     edata: FeatureDict = dataclasses.field(default_factory=dict)
     # node features (padded_nodes, F) — shard row-wise like the inputs
@@ -73,7 +83,9 @@ class PartitionedGraph:
     def tree_flatten(self):
         children = (self.senders_global, self.receivers_local, self.edge_mask,
                     self.in_degree, self.node_mask, self.send_idx,
-                    self.senders_halo, self.edata, self.ndata,
+                    self.senders_halo, self.senders_int, self.recv_int,
+                    self.mask_int, self.senders_bnd, self.recv_bnd,
+                    self.mask_bnd, self.edata, self.ndata,
                     self.tile_senders, self.tile_recv, self.tile_wmask,
                     self.tile_chunk)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
@@ -83,13 +95,15 @@ class PartitionedGraph:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (senders_global, receivers_local, edge_mask, in_degree, node_mask,
-         send_idx, senders_halo, edata, ndata, tile_senders, tile_recv,
-         tile_wmask, tile_chunk) = children
+         send_idx, senders_halo, senders_int, recv_int, mask_int,
+         senders_bnd, recv_bnd, mask_bnd, edata, ndata, tile_senders,
+         tile_recv, tile_wmask, tile_chunk) = children
         P, npp, n, e, h, ttn, tte = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
-                   dict(edata), dict(ndata), tile_senders, tile_recv,
-                   tile_wmask, tile_chunk, ttn, tte)
+                   senders_int, recv_int, mask_int, senders_bnd, recv_bnd,
+                   mask_bnd, dict(edata), dict(ndata), tile_senders,
+                   tile_recv, tile_wmask, tile_chunk, ttn, tte)
 
 
 def partition_graph(
@@ -187,6 +201,7 @@ def partition_graph(
                 for h, gid in enumerate(rows):
                     slot_maps[q][int(gid)] = npp + p * H + h
         senders_halo = np.zeros((P, e_max), np.int32)
+        own_by_part = []
         for q in range(P):
             lo, hi = offsets[q], offsets[q + 1]
             n = hi - lo
@@ -196,6 +211,34 @@ def partition_graph(
                                  for gid in sq], np.int32)
             own = (sq // npp) == q
             senders_halo[q, :n] = np.where(own, local, remote)
+            own_by_part.append(own)
+
+        # Interior/boundary split: interior edges (local sender) aggregate
+        # while the all_to_all is in flight; boundary edges read the received
+        # halo rows afterwards. Receiver-sorted order is preserved by the
+        # stable boolean selection.
+        ei_counts = [int(o.sum()) for o in own_by_part]
+        eb_counts = [int((~o).sum()) for o in own_by_part]
+        pad = pad_edges_to_multiple
+        ei_max = max(-(-max(ei_counts + [1]) // pad) * pad, pad)
+        eb_max = max(-(-max(eb_counts + [1]) // pad) * pad, pad)
+        s_int = np.zeros((P, ei_max), np.int32)
+        r_int = np.zeros((P, ei_max), np.int32)
+        m_int = np.zeros((P, ei_max), np.float32)
+        s_bnd = np.zeros((P, eb_max), np.int32)
+        r_bnd = np.zeros((P, eb_max), np.int32)
+        m_bnd = np.zeros((P, eb_max), np.float32)
+        for q in range(P):
+            lo, hi = offsets[q], offsets[q + 1]
+            own = own_by_part[q]
+            ni, nb = ei_counts[q], eb_counts[q]
+            s_int[q, :ni] = senders_halo[q, :hi - lo][own]
+            r_int[q, :ni] = recv_l[q, :hi - lo][own]
+            m_int[q, :ni] = 1.0
+            # boundary senders index the received halo rows directly
+            s_bnd[q, :nb] = senders_halo[q, :hi - lo][~own] - npp
+            r_bnd[q, :nb] = recv_l[q, :hi - lo][~own]
+            m_bnd[q, :nb] = 1.0
 
     tile_kw = {}
     if tiled and halo:
@@ -232,9 +275,16 @@ def partition_graph(
             tile_tn=tn, tile_te=te,
         )
 
+    split_kw = {}
     if senders_halo is not None:
         send_idx = jnp.asarray(send_idx)
         senders_halo = jnp.asarray(senders_halo)
+        split_kw = dict(
+            senders_int=jnp.asarray(s_int), recv_int=jnp.asarray(r_int),
+            mask_int=jnp.asarray(m_int[..., None]),
+            senders_bnd=jnp.asarray(s_bnd), recv_bnd=jnp.asarray(r_bnd),
+            mask_bnd=jnp.asarray(m_bnd[..., None]),
+        )
 
     return PartitionedGraph(
         senders_global=jnp.asarray(senders_g),
@@ -255,6 +305,7 @@ def partition_graph(
              np.zeros((P * npp - N,) + np.asarray(v).shape[1:],
                       np.asarray(v).dtype)], axis=0))
                for k, v in g.ndata.items()},
+        **split_kw,
         **tile_kw,
     )
 

@@ -148,3 +148,99 @@ def test_bf16_compute_dtype_interpret():
     # bf16 inputs: ~1e-2 relative tolerance
     assert np.allclose(got, want, atol=0.15, rtol=0.05)
     assert got.dtype == np.float32
+
+
+def test_weighted_spmm_rides_pallas(monkeypatch):
+    """Runtime edge weights dispatch to the Pallas edge-tiling path (not raw
+    scatter) when precompute attached tcsr_edges (VERDICT r1 weak #4)."""
+    import importlib
+
+    spmm_mod = importlib.import_module("neuralgraphpde.ops.spmm")
+    from neuralgraphpde.ops.spmm import precompute, spmm
+
+    rng = np.random.default_rng(0)
+    n, e, f = 64, 300, 16
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    g = GnnGraph.from_coo(s, r, num_nodes=n)
+    g = precompute(g, dense=False, pallas=True, tn=8, te=32)
+    assert "tcsr_edges" in g.cache
+
+    calls = {"n": 0}
+    real = spmm_mod.segment_sum_pallas
+
+    def counting(gg, m):
+        calls["n"] += 1
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            return real(gg, m)
+
+    monkeypatch.setattr(spmm_mod, "segment_sum_pallas", counting)
+    monkeypatch.setattr(spmm_mod, "_pallas_available", lambda: True)
+
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(e,)).astype(np.float32))
+    got = spmm(g, x, edge_weight=w)
+    assert calls["n"] == 1
+    want = ref_spmm(np.asarray(g.senders), np.asarray(g.receivers),
+                    np.asarray(w), np.asarray(x), n)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # gradient flows to both x and w through the kernel path
+    gx, gw = jax.grad(
+        lambda x, w: jnp.sum(spmm(g, x, edge_weight=w) ** 2), (0, 1))(x, w)
+    from neuralgraphpde.ops.spmm import spmm_xla
+
+    gx_ref, gw_ref = jax.grad(
+        lambda x, w: jnp.sum(spmm_xla(g, x, edge_weight=w) ** 2), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_precompute_self_loops_keeps_gcn_fast(recwarn):
+    """precompute(add_self_loops=True) + default GCNConv: no warning, no
+    cache drop, weighted + unweighted forwards match the scatter reference."""
+    import warnings
+
+    from neuralgraphpde import GCNConv, setup, update_graph
+    from neuralgraphpde.ops.spmm import precompute, set_spmm_mode
+
+    rng = np.random.default_rng(1)
+    n, e = 40, 160
+    g0 = GnnGraph.from_coo(rng.integers(0, n, e), rng.integers(0, n, e),
+                           num_nodes=n)
+    g = precompute(g0, add_self_loops=True, dense=True)
+    assert g.cache.get("self_looped") and g.num_edges == e + n
+
+    layer = GCNConv(8, 8)  # defaults: add_self_loops=True
+    ps, st = setup(jax.random.PRNGKey(0), layer)
+    st = update_graph(st, g)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any cache-drop warning -> failure
+        y_fast, _ = layer(x, ps, st)
+
+    # reference: raw graph, the layer adds loops itself, scatter path
+    st_ref = update_graph(st, g0)
+    set_spmm_mode("xla")
+    try:
+        y_ref, _ = layer(x, ps, st_ref)
+    finally:
+        set_spmm_mode("auto")
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # original-edge-count runtime weights get unit-padded for the loops
+    w = jnp.abs(jnp.asarray(rng.normal(size=(e,)).astype(np.float32))) + 0.1
+    y_w, _ = layer(x, ps, st, edge_weight=w)
+    set_spmm_mode("xla")
+    try:
+        y_w_ref, _ = layer(x, ps, st_ref, edge_weight=w)
+    finally:
+        set_spmm_mode("auto")
+    np.testing.assert_allclose(np.asarray(y_w), np.asarray(y_w_ref),
+                               rtol=1e-5, atol=1e-5)

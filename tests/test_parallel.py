@@ -358,3 +358,42 @@ def test_reorder_for_partition_balances_and_preserves(mesh):
     got = np.asarray(sharded_spmm(pg_bal, xp, mesh))[:n]
     # map back: got[new_id] corresponds to want[perm[new_id]]
     assert np.allclose(got, want[perm], atol=1e-5)
+
+
+def test_overlap_split_metadata_and_parity():
+    """Interior/boundary split: metadata is consistent (interior senders
+    local, boundary senders index received halo rows) and the overlapped
+    sharded_spmm matches the single-device SpMM."""
+    import numpy as np
+
+    from neuralgraphpde.graph.builders import grid_graph_2d
+    from neuralgraphpde.parallel.halo import make_mesh, sharded_spmm
+    from neuralgraphpde.parallel.partition import (
+        pad_node_features, partition_graph, unpad_node_features,
+    )
+
+    g = grid_graph_2d(16, 32)
+    P_ = 8
+    pg = partition_graph(g, P_)
+    assert pg.senders_int is not None
+    npp = pg.nodes_per_part
+    # interior senders are local rows; boundary senders index halo rows
+    assert int(jnp.max(pg.senders_int)) < npp
+    assert pg.senders_bnd.shape[1] <= pg.senders_int.shape[1]  # mesh: few bnd
+    n_int = int(jnp.sum(pg.mask_int))
+    n_bnd = int(jnp.sum(pg.mask_bnd))
+    assert n_int + n_bnd == g.num_edges
+
+    mesh = make_mesh(P_)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(g.num_nodes, 8)).astype(np.float32))
+    xp = jnp.asarray(pad_node_features(np.asarray(x), pg))
+    with mesh:
+        y = sharded_spmm(pg, xp, mesh)
+    y = unpad_node_features(y, pg)
+
+    from neuralgraphpde.ops.spmm import spmm_xla
+
+    want = spmm_xla(g, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
