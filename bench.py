@@ -1,21 +1,35 @@
 """Benchmark: fused SpMM inside an ODE right-hand side — edges/s/chip.
 
-Runs the GCN ODE RHS (degree-scale → SpMM → degree-scale → weight matmul →
-activation) in an on-device `fori_loop` over a large random graph and reports
-sustained edges/s on one chip. ``vs_baseline`` compares the framework's best
-Pallas tiled-CSR path against the plain XLA gather+segment_sum implementation
-of the same RHS (the structural equivalent of the reference's NNlib scatter
-path).
+Primary metric: the GCN ODE RHS (degree-scale → SpMM → degree-scale →
+weight matmul → activation) on a 512x512 8-neighborhood grid mesh — the
+framework's actual domain (the reference's workloads are PDE meshes:
+Delaunay in VMH.md, grids in the MP-PDE/GNO configs), run in an on-device
+``fori_loop`` and reported as sustained edges/s on one chip. ``vs_baseline``
+compares the best framework path against the plain XLA gather+segment_sum
+implementation of the same RHS on the same mesh (the structural equivalent
+of the reference's NNlib scatter path).
+
+Paths:
+- ``xla``         — gather + scatter-add baseline.
+- ``tcsr_bf16``   — Pallas tiled-CSR one-hot-MXU kernel, bf16 gather traffic,
+                    f32 accumulation (the general-graph path).
+- ``banded_f32``  — Pallas streaming banded-block kernel, exact f32
+                    (HIGHEST-precision MXU passes), zero gather.
+- ``banded_bf16`` — banded kernel with bf16 band/x traffic, f32 accumulation.
+
+A random-graph secondary (2^18 nodes, deg 16: xla vs tcsr_bf16) is printed
+as a comment line for regression tracking of the gather path.
 
 Robustness (see docs/tpu_design.md): the tunneled TPU backend has
-minute-scale compile/session-warmup variance and stalls on large
-device→host reads. All paths therefore run in ONE worker subprocess
-(warm-up amortized) that streams each result to a file as it lands; the
-parent enforces an overall timeout and harvests whatever completed. Paths
-run safest-first. Sync is via small scalar reads only; steady-state time is
-the difference between a long and a short loop of the same compiled family.
+minute-scale compile/session-warmup variance, stalls on large device→host
+reads, and hangs when the persistent compilation cache tries to ship
+serialized executables through the relay (so no compilation cache here).
+All paths run in ONE worker subprocess that streams each result to a file
+as it lands; the parent enforces an overall timeout and harvests whatever
+completed. Sync is via small scalar reads only; steady-state time is the
+difference between a long and a short loop of the same compiled family.
 
-Prints ONE JSON line:
+Prints ONE JSON line (last line):
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
 """
 from __future__ import annotations
@@ -28,104 +42,125 @@ import sys
 import tempfile
 import time
 
-NUM_NODES = 1 << 18
-AVG_DEGREE = 16
+MESH_NX = MESH_NY = 512
 FEAT = 128
 ITERS_SHORT, ITERS_LONG = 4, 24
-PATHS = ["xla", "pallas", "pallas_bf16"]
+RAND_NODES = 1 << 18
+RAND_DEG = 16
 TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 
 
 def _worker(outfile: str) -> None:
     import jax
-
-    # Persistent compilation cache: repeat bench runs skip the remote
-    # compile stalls when the backend supports executable serialization.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/root/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     import jax.numpy as jnp
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from neuralgraphpde.graph.builders import grid_graph_2d
+    from neuralgraphpde.kernels.banded_kernels import _banded_spmm_fwd
     from neuralgraphpde.kernels.segment_kernels import (
-        _tiled_segment_spmm_fwd, build_tiled_csr, tiled_segment_spmm,
+        _tiled_segment_spmm_fwd, build_tiled_csr,
     )
+    from neuralgraphpde.ops.bsr import build_banded
 
     def emit(line: str) -> None:
         with open(outfile, "a") as f:
             f.write(line + "\n")
 
     rng = np.random.default_rng(0)
-    E = NUM_NODES * AVG_DEGREE
-    senders_np = rng.integers(0, NUM_NODES, E, dtype=np.int64).astype(np.int32)
-    receivers_np = np.sort(
-        rng.integers(0, NUM_NODES, E, dtype=np.int64)).astype(np.int32)
-    deg = np.bincount(receivers_np, minlength=NUM_NODES).astype(np.float32)
-    c = jnp.asarray((1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(NUM_NODES, FEAT)).astype(np.float32))
     w = jnp.asarray(
         (rng.normal(size=(FEAT, FEAT)) / np.sqrt(FEAT)).astype(np.float32))
-
-    senders = jnp.asarray(senders_np)
-    receivers = jnp.asarray(receivers_np)
-    tcsr = build_tiled_csr(senders_np, receivers_np, NUM_NODES)
-    tcsr_rev = build_tiled_csr(receivers_np, senders_np, NUM_NODES)
-
-    def spmm_for(path):
-        if path == "xla":
-            def f(h):
-                xj = jnp.take(h, senders, axis=0)
-                return jax.ops.segment_sum(
-                    xj, receivers, num_segments=NUM_NODES,
-                    indices_are_sorted=True)
-        elif path == "pallas":
-            def f(h):
-                return tiled_segment_spmm(h, tcsr, tcsr_rev)[:NUM_NODES]
-        elif path == "pallas_bf16":
-            # bf16 gather traffic, f32 accumulate (docs/tpu_design.md)
-            def f(h):
-                return _tiled_segment_spmm_fwd(
-                    tcsr, h, compute_dtype=jnp.bfloat16)[:NUM_NODES]
-        else:
-            raise ValueError(path)
-        return f
 
     def sync(v):
         return float(jnp.sum(v[0, :8]))
 
-    for path in PATHS:
-        try:
-            spmm = spmm_for(path)
+    def run_paths(tag, E, c, x, paths):
+        for name, spmm in paths:
+            try:
+                @functools.partial(jax.jit, static_argnums=(1,))
+                def loop(x0, iters, spmm=spmm):
+                    def rhs(v):
+                        h = v * c[:, None]
+                        h = spmm(h)
+                        h = h * c[:, None]
+                        h = jnp.dot(h, w, preferred_element_type=h.dtype)
+                        return jnp.tanh(h)
 
-            @functools.partial(jax.jit, static_argnums=(1,))
-            def loop(x0, iters, spmm=spmm):
-                def rhs(v):
-                    h = v * c[:, None]
-                    h = spmm(h)
-                    h = h * c[:, None]
-                    h = jnp.dot(h, w, preferred_element_type=h.dtype)
-                    return jnp.tanh(h)
+                    return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v),
+                                             x0)
 
-                return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
+                sync(loop(x, ITERS_SHORT))
+                sync(loop(x, ITERS_LONG))
+                t0 = time.perf_counter()
+                sync(loop(x, ITERS_SHORT))
+                t_short = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                sync(loop(x, ITERS_LONG))
+                t_long = time.perf_counter() - t0
+                dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
+                emit(f"RESULT {tag} {name} {E / dt}")
+            except Exception as err:  # keep going: later paths may work
+                emit(f"FAIL {tag} {name} {type(err).__name__}")
 
-            sync(loop(x, ITERS_SHORT))
-            sync(loop(x, ITERS_LONG))
-            t0 = time.perf_counter()
-            sync(loop(x, ITERS_SHORT))
-            t_short = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            sync(loop(x, ITERS_LONG))
-            t_long = time.perf_counter() - t0
-            dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
-            emit(f"RESULT {path} {E / dt}")
-        except Exception as err:  # keep going: later paths may still work
-            emit(f"FAIL {path} {type(err).__name__}")
+    # ---------------- primary: 512x512 8-neighborhood PDE mesh ----------
+    g = grid_graph_2d(MESH_NX, MESH_NY, diagonals=True)
+    sg, rg = np.asarray(g.senders), np.asarray(g.receivers)
+    ng, Eg = g.num_nodes, g.num_edges
+    deg = np.bincount(rg, minlength=ng).astype(np.float32)
+    c = jnp.asarray((1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(ng, FEAT)).astype(np.float32))
+    senders_d, receivers_d = g.senders, g.receivers
+
+    def xla_mesh(h):
+        xj = jnp.take(h, senders_d, axis=0)
+        return jax.ops.segment_sum(xj, receivers_d, num_segments=ng,
+                                   indices_are_sorted=True)
+
+    emit(f"INFO mesh {MESH_NX}x{MESH_NY} diag: n={ng} E={Eg}")
+    tcsr_g = build_tiled_csr(sg, rg, ng)
+    bm32 = build_banded(sg, rg, ng, tb=256)
+    bm16 = build_banded(sg, rg, ng, tb=256, dtype=jnp.bfloat16)
+    emit(f"INFO bands offsets={None if bm32 is None else bm32.offsets}")
+
+    mesh_paths = [
+        ("xla", xla_mesh),
+        ("tcsr_bf16", lambda h: _tiled_segment_spmm_fwd(
+            tcsr_g, h, compute_dtype=jnp.bfloat16)[:ng]),
+    ]
+    if bm32 is not None:
+        mesh_paths.append(("banded_f32",
+                           lambda h: _banded_spmm_fwd(bm32, h)))
+    if bm16 is not None:
+        mesh_paths.append(("banded_bf16",
+                           lambda h: _banded_spmm_fwd(bm16, h)))
+    run_paths("mesh", Eg, c, x, mesh_paths)
+
+    # ---------------- secondary: random graph (gather-path regression) --
+    try:
+        E2 = RAND_NODES * RAND_DEG
+        s2 = rng.integers(0, RAND_NODES, E2, dtype=np.int64).astype(np.int32)
+        r2 = np.sort(
+            rng.integers(0, RAND_NODES, E2, dtype=np.int64)).astype(np.int32)
+        deg2 = np.bincount(r2, minlength=RAND_NODES).astype(np.float32)
+        c2 = jnp.asarray(
+            (1.0 / np.sqrt(np.maximum(deg2, 1.0))).astype(np.float32))
+        x2 = jnp.asarray(
+            rng.normal(size=(RAND_NODES, FEAT)).astype(np.float32))
+        tcsr2 = build_tiled_csr(s2, r2, RAND_NODES)
+        s2_d, r2_d = jnp.asarray(s2), jnp.asarray(r2)
+
+        def xla_rand(h):
+            xj = jnp.take(h, s2_d, axis=0)
+            return jax.ops.segment_sum(xj, r2_d, num_segments=RAND_NODES,
+                                       indices_are_sorted=True)
+
+        run_paths("rand", E2, c2, x2, [
+            ("xla", xla_rand),
+            ("tcsr_bf16", lambda h: _tiled_segment_spmm_fwd(
+                tcsr2, h, compute_dtype=jnp.bfloat16)[:RAND_NODES]),
+        ])
+    except Exception as err:
+        emit(f"FAIL rand setup {type(err).__name__}")
 
 
 def main():
@@ -143,19 +178,28 @@ def main():
         print("# worker hit overall timeout; using partial results",
               flush=True)
 
-    results = {}
+    mesh, rand = {}, {}
     with open(outfile) as f:
         for line in f:
             parts = line.split()
-            if parts and parts[0] == "RESULT":
-                results[parts[1]] = float(parts[2])
-            elif parts and parts[0] == "FAIL":
-                print(f"# {parts[1]} path failed: {parts[2]}", flush=True)
+            if not parts:
+                continue
+            if parts[0] == "RESULT":
+                (mesh if parts[1] == "mesh" else rand)[parts[2]] = \
+                    float(parts[3])
+            elif parts[0] == "FAIL":
+                print(f"# {parts[1]}/{parts[2]} failed: {parts[-1]}",
+                      flush=True)
+            elif parts[0] == "INFO":
+                print("# " + " ".join(parts[1:]), flush=True)
     os.unlink(outfile)
 
-    base_eps = results.get("xla", 0.0)
-    best_eps = max(results.get("pallas", 0.0),
-                   results.get("pallas_bf16", 0.0))
+    for tag, res in (("mesh", mesh), ("rand", rand)):
+        for name, eps in sorted(res.items()):
+            print(f"# {tag}/{name}: {eps / 1e6:.1f} M edges/s", flush=True)
+
+    base_eps = mesh.get("xla", 0.0)
+    best_eps = max((v for k, v in mesh.items() if k != "xla"), default=0.0)
     if base_eps <= 0 and best_eps <= 0:
         print(json.dumps({
             "metric": "spmm_ode_rhs_edges_per_s_per_chip",

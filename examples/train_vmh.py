@@ -30,6 +30,11 @@ class Config:
     epochs: int = 200
     batch: int = 4
     seed: int = 0
+    # 'checkpoint' = the reference's InterpolatingAdjoint analog (stable on
+    # the diffusive dynamics); 'backsolve' = classic continuous adjoint.
+    adjoint: str = "checkpoint"
+    checkpoint_steps: int = 16
+    log_path: str = ""
 
 
 def main(cfg: Config):
@@ -45,7 +50,9 @@ def main(cfg: Config):
     saveat = tuple(np.asarray(data.ts))
     model = vmh_model(1, 2, hidden=cfg.hidden, msg_dim=cfg.msg_dim,
                       depth=cfg.depth, tspan=(saveat[0], saveat[-1]),
-                      saveat=saveat, rtol=1e-3, atol=1e-3)
+                      saveat=saveat, rtol=1e-3, atol=1e-3,
+                      adjoint=cfg.adjoint,
+                      checkpoint_steps=cfg.checkpoint_steps)
     ps, st = setup(jax.random.PRNGKey(cfg.seed), model)
     # all sims share one graph: bind it once (re-bind per batch when graphs
     # differ — the update_graph pattern). precompute attaches the Pallas
@@ -64,16 +71,21 @@ def main(cfg: Config):
     opt = rprop(cfg.lr) if cfg.optimizer == "rprop" else adam(cfg.lr)
     opt_state = opt.init(ps)
     step = make_train_step(loss_fn, opt, donate=False)
-    logger = MetricsLogger()
+    logger = MetricsLogger(path=cfg.log_path or None)
     rng = np.random.default_rng(cfg.seed)
+    import time as _time
+    t0 = _time.time()
     for epoch in range(cfg.epochs):
         perm = rng.permutation(cfg.num_sims)
+        losses = []
         for i in range(0, cfg.num_sims, cfg.batch):
             idx = perm[i:i + cfg.batch]
             ps, opt_state, loss, _ = step(ps, opt_state, u[idx])
+            losses.append(float(loss))
         if (epoch + 1) % 10 == 0 or epoch == 0:
-            rec = logger.log(epoch + 1, train_mse=loss)
-            print(f"epoch {epoch + 1:4d} | train mse {rec['train_mse']:.5f}")
+            rec = logger.log(epoch + 1, train_mse=float(np.mean(losses)))
+            print(f"epoch {epoch + 1:4d} | train mse {rec['train_mse']:.5f} "
+                  f"| {_time.time()-t0:.0f}s", flush=True)
     return logger
 
 
@@ -84,8 +96,11 @@ if __name__ == "__main__":
     p.add_argument("--points", type=int, default=3000)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--optimizer", default="rprop")
+    p.add_argument("--adjoint", default="checkpoint")
+    p.add_argument("--log-path", default="")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     main(Config(num_sims=args.sims, num_points=args.points,
-                epochs=args.epochs, optimizer=args.optimizer))
+                epochs=args.epochs, optimizer=args.optimizer,
+                adjoint=args.adjoint, log_path=args.log_path))

@@ -55,8 +55,14 @@ def _gno_kernel(chunk_tile_ref, ph_ref, h_ref, recv_ref, wmask_ref,
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, in_chs), 1)
 
+    # f32 MXU ops request HIGHEST precision (default truncates to bf16;
+    # see tests/tpu_compiled_checks.py)
+    prec = (jax.lax.Precision.HIGHEST
+            if ph_ref.dtype == jnp.float32 else None)
+
     def body(i, m):
-        wi = jnp.dot(ph, wl_ref[i], preferred_element_type=jnp.float32)
+        wi = jnp.dot(ph, wl_ref[i], preferred_element_type=jnp.float32,
+                     precision=prec)
         wi = wi + bl_ref[i]
         # channel-i column of h via masked reduce (layout-friendly — no
         # dynamic lane slicing)
@@ -73,7 +79,7 @@ def _gno_kernel(chunk_tile_ref, ph_ref, h_ref, recv_ref, wmask_ref,
     onehot = jnp.where(cols == recv, w, 0.0)
     out_ref[:] += jax.lax.dot_general(
         onehot, m, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -169,11 +169,17 @@ def _segment_kernel(chunk_tile_ref, xj_ref, recv_ref, wmask_ref, out_ref):
     onehot = jnp.where(cols == recv, w, 0.0)  # (TE, TN) f32
     # A bf16 compute dtype halves the gather's HBM traffic; the MXU input is
     # widened back to f32 in VMEM (cheap) — full-precision accumulation.
+    # f32 operands must request HIGHEST precision: the MXU's default f32
+    # matmul truncates inputs to bf16 (caught by tests/tpu_compiled_checks.py
+    # — interpret mode never sees it); the bf16-gather path keeps the fast
+    # default passes.
+    prec = (jax.lax.Precision.HIGHEST
+            if xj_ref.dtype == jnp.float32 else None)
     xj = xj_ref[0].astype(jnp.float32)
     out_ref[:] += jax.lax.dot_general(
         onehot, xj,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "compute_dtype"))
@@ -264,3 +270,137 @@ def _spmm_bwd(res, g):
 
 
 tiled_segment_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ------------------------------------------------------------ max / min
+_NEG = float(np.finfo(np.float32).min)
+
+
+def _shift_down(x, s, fill):
+    """Shift rows down by ``s`` along the sublane dim, filling the top."""
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-s]], axis=0)
+
+
+def _segment_max_kernel(chunk_tile_ref, msg_ref, recv_ref, wmask_ref,
+                        out_ref):
+    """Segment-max over receiver-sorted chunks.
+
+    The in-chunk receiver ids are non-decreasing (the edge-index tiling of a
+    receiver-sorted graph preserves edge order), so each receiver's edges
+    form one contiguous run per chunk: a segmented inclusive max-scan (log2
+    TE shifted-max passes on the VPU) leaves the full run maximum at each
+    run's last slot, and a one-hot matmul places exactly that one value per
+    receiver row. Cross-chunk combination is an elementwise max on the
+    VMEM-resident output tile.
+    """
+    c = pl.program_id(1)
+    prev_tile = chunk_tile_ref[jnp.maximum(c, 1) - 1]
+    first = (c == 0) | (chunk_tile_ref[c] != prev_tile)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, _NEG)
+
+    tn = out_ref.shape[0]
+    te = recv_ref.shape[1]
+    recv = recv_ref[0]  # (TE, 1) int32
+    valid = wmask_ref[0] > 0  # (TE, 1)
+    # masked slots go to a trailing pseudo-segment (id TN) so they never
+    # merge with real runs nor hit the one-hot
+    recv_eff = jnp.where(valid, recv, tn)
+    val = jnp.where(valid, msg_ref[0].astype(jnp.float32), _NEG)  # (TE, F)
+
+    s = 1
+    while s < te:
+        pv = _shift_down(val, s, _NEG)
+        pr = _shift_down(recv_eff, s, -1)
+        val = jnp.maximum(val, jnp.where(pr == recv_eff, pv, _NEG))
+        s *= 2
+
+    # run-end slots: the next slot starts a different segment
+    nxt = jnp.concatenate(
+        [recv_eff[1:], jnp.full((1, 1), tn + 1, recv_eff.dtype)], axis=0)
+    is_end = (nxt != recv_eff) & valid  # (TE, 1)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
+    onehot = jnp.where((cols == recv_eff) & is_end, 1.0, 0.0)  # (TE, TN)
+    endval = jnp.where(is_end, val, 0.0)
+    contrib = jax.lax.dot_general(
+        onehot, endval, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (TN, F)
+    present = jnp.sum(onehot, axis=0)[:, None] > 0  # (TN, 1)
+    out_ref[:] = jnp.where(present, jnp.maximum(out_ref[:], contrib),
+                           out_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tiled_segment_max_fwd(tcsr: TiledCSR, messages: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """Receiver segment-max of per-edge messages through the edge-index
+    tiling (``tcsr`` must be the ``tcsr_edges`` layout of a receiver-sorted
+    graph). Empty receivers get ``-inf`` (jax.ops.segment_max convention)."""
+    out_dtype = messages.dtype
+    C, te = tcsr.senders.shape
+    F = messages.shape[1]
+    tf = F if F <= TF_MAX else 256
+    pad = (-F) % tf
+    if pad:
+        messages = jnp.pad(messages, ((0, 0), (0, pad)))
+    Fp = F + pad
+    n_ft = Fp // tf
+
+    msg = jnp.take(messages, tcsr.senders.reshape(-1), axis=0)
+    msg = msg.reshape(C, te, Fp)
+    recv3 = tcsr.recv_local.reshape(C, te, 1)
+    wmask3 = tcsr.wmask.reshape(C, te, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ft, C),
+        in_specs=[
+            pl.BlockSpec((1, te, tf), lambda f, c, ct: (c, 0, f)),
+            pl.BlockSpec((1, te, 1), lambda f, c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, te, 1), lambda f, c, ct: (c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tcsr.tn, tf), lambda f, c, ct: (ct[c], f)),
+    )
+    out = pl.pallas_call(
+        _segment_max_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tcsr.num_tiles * tcsr.tn, Fp),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tcsr.chunk_tile, msg, recv3, wmask3)
+    out = out[:, :F] if pad else out
+    out = jnp.where(out == _NEG, -jnp.inf, out)
+    return out.astype(out_dtype)
+
+
+@jax.custom_vjp
+def tiled_segment_max(messages: jax.Array, tcsr: TiledCSR,
+                      receivers: jax.Array) -> jax.Array:
+    """Differentiable Pallas segment-max: ``out[i] = max_{e: recv_e=i} m_e``.
+
+    ``receivers`` is the graph's (E,) receiver array (used by the VJP to
+    route cotangents to the arg-max edges; ties all receive the gradient).
+    """
+    return _tiled_segment_max_fwd(tcsr, messages)
+
+
+def _smax_fwd(messages, tcsr, receivers):
+    out = _tiled_segment_max_fwd(tcsr, messages)
+    return out, (messages, out, receivers, tcsr)
+
+
+def _smax_bwd(res, g):
+    messages, out, receivers, tcsr = res
+    # cotangent routes to the arg-max edges (all ties receive it)
+    winners = messages == jnp.take(out, receivers, axis=0)
+    gm = jnp.where(winners, jnp.take(g, receivers, axis=0), 0.0)
+    return (gm.astype(messages.dtype), _zeros_like_tree(tcsr),
+            np.zeros(receivers.shape, jax.dtypes.float0))
+
+
+tiled_segment_max.defvjp(_smax_fwd, _smax_bwd)

@@ -29,6 +29,8 @@ def vmh_model(
     rtol: float = 1e-3,
     atol: float = 1e-3,
     initialgraph: Optional[GnnGraph] = None,
+    adjoint: str = "backsolve",
+    checkpoint_steps: int = 128,
 ) -> NeuralGraphODE:
     """Reference architecture (VMH.md:75-89): ϕ is a tanh MLP
     ``(2·state + pos) → hidden^depth → msg``; γ is
@@ -41,4 +43,5 @@ def vmh_model(
     return NeuralGraphODE(
         conv, tspan=tspan, solver=solver,
         saveat=tuple(saveat) if saveat is not None else None,
-        rtol=rtol, atol=atol, output="all")
+        rtol=rtol, atol=atol, adjoint=adjoint,
+        checkpoint_steps=checkpoint_steps, output="all")

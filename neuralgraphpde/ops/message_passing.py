@@ -95,22 +95,34 @@ def aggregate_neighbors(
     kernel when ``ops.precompute(g, pallas=True)`` attached an edge tiling.
     """
     red = canonical_reduction(aggr)
-    if (red in ("sum", "mean") and "tcsr_edges" in g.cache
+    if (red in ("sum", "mean", "max", "min") and "tcsr_edges" in g.cache
             and isinstance(messages, jax.Array) and messages.ndim == 2):
-        from .spmm import _pallas_available, get_spmm_mode, segment_sum_pallas
+        from .spmm import (_pallas_available, get_spmm_mode,
+                           segment_max_pallas, segment_min_pallas,
+                           segment_sum_pallas)
 
         mode = get_spmm_mode()
         if mode == "pallas" or (mode == "auto" and _pallas_available()):
-            out = segment_sum_pallas(g, messages)
-            if red == "mean":
-                if "in_degree" in g.cache:
-                    deg = g.cache["in_degree"].astype(out.dtype)
-                else:
-                    deg = jax.ops.segment_sum(
-                        jnp.ones((g.num_edges,), out.dtype), g.receivers,
-                        g.num_nodes, indices_are_sorted=g.receivers_sorted)
-                out = out / jnp.maximum(deg, 1.0)[:, None]
-            return out
+            if red in ("max", "min"):
+                # the segmented-scan kernel needs contiguous per-receiver
+                # runs inside each chunk — guaranteed by receiver-sorted
+                # edge order (precompute sorts); otherwise fall through
+                if g.receivers_sorted:
+                    fn = (segment_max_pallas if red == "max"
+                          else segment_min_pallas)
+                    return fn(g, messages)
+            else:
+                out = segment_sum_pallas(g, messages)
+                if red == "mean":
+                    if "in_degree" in g.cache:
+                        deg = g.cache["in_degree"].astype(out.dtype)
+                    else:
+                        deg = jax.ops.segment_sum(
+                            jnp.ones((g.num_edges,), out.dtype), g.receivers,
+                            g.num_nodes,
+                            indices_are_sorted=g.receivers_sorted)
+                    out = out / jnp.maximum(deg, 1.0)[:, None]
+                return out
     return segment_reduce(
         messages, g.receivers, g.num_nodes, aggr,
         indices_are_sorted=g.receivers_sorted,

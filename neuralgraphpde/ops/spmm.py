@@ -158,6 +158,22 @@ def segment_sum_pallas(g: GnnGraph, messages: jax.Array) -> jax.Array:
                               None)[: g.num_nodes]
 
 
+def segment_max_pallas(g: GnnGraph, messages: jax.Array) -> jax.Array:
+    """Receiver segment-max of per-edge messages via the Pallas
+    segmented-scan kernel (requires ``precompute(g, pallas=True)`` on a
+    receiver-sorted graph). Empty receivers get ``-inf``
+    (``jax.ops.segment_max`` convention); ties all receive the gradient."""
+    from ..kernels.segment_kernels import tiled_segment_max
+
+    return tiled_segment_max(messages, g.cache["tcsr_edges"],
+                             g.receivers)[: g.num_nodes]
+
+
+def segment_min_pallas(g: GnnGraph, messages: jax.Array) -> jax.Array:
+    """Receiver segment-min — the max kernel on negated messages."""
+    return -segment_max_pallas(g, -messages)
+
+
 def spmm_xla(g: GnnGraph, x: jax.Array,
              edge_weight: Optional[jax.Array] = None) -> jax.Array:
     xj = jnp.take(x, g.senders, axis=0)

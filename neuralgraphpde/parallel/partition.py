@@ -172,46 +172,55 @@ def partition_graph(
     send_idx = None
     senders_halo = None
     if halo:
-        # For each (owner p -> needer q) pair: unique sender rows q's edges
-        # reference that p owns. Self-pairs are empty (own rows are local).
-        needed = [[np.zeros(0, np.int64) for _ in range(P)] for _ in range(P)]
-        for q in range(P):
-            lo, hi = offsets[q], offsets[q + 1]
-            sq = s_sorted[lo:hi]
-            owners = sq // npp
-            for p in range(P):
-                if p == q:
-                    continue
-                rows = np.unique(sq[owners == p])
-                needed[p][q] = rows
-        H = max((len(needed[p][q]) for p in range(P) for q in range(P)),
-                default=0)
+        # Vectorized targeted-halo construction (O(E log E), no Python
+        # per-edge loops — the r1 dict build was a liability at 10M+ edges):
+        # for each (needer q, owner p) pair, the unique sender rows q's
+        # edges reference that p owns, plus the edge remap into q's
+        # local+halo table.
+        q_of_edge = np.repeat(np.arange(P, dtype=np.int64),
+                              np.diff(offsets))
+        owner = s_sorted // npp
+        remote_mask = owner != q_of_edge
+        re_q = q_of_edge[remote_mask]
+        re_p = owner[remote_mask]
+        re_s = s_sorted[remote_mask]
+        # unique (q, p, sender) triples, sorted — matches np.unique order
+        key = (re_q * P + re_p) * (N + 1) + re_s
+        uniq_key, inv = np.unique(key, return_inverse=True)
+        u_q = uniq_key // (P * (N + 1))
+        u_p = (uniq_key // (N + 1)) % P
+        u_s = uniq_key % (N + 1)
+        # rank of each unique sender within its (q, p) group
+        group = u_q * P + u_p
+        first_of_group = np.concatenate(
+            [[0], np.flatnonzero(np.diff(group)) + 1]) if len(group) else \
+            np.zeros(0, np.int64)
+        group_id_of_u = np.searchsorted(first_of_group, np.arange(len(group)),
+                                        side="right") - 1 if len(group) else \
+            np.zeros(0, np.int64)
+        rank = np.arange(len(group)) - first_of_group[group_id_of_u] \
+            if len(group) else np.zeros(0, np.int64)
+        group_sizes = np.diff(np.concatenate([first_of_group, [len(group)]])) \
+            if len(group) else np.zeros(0, np.int64)
+        H = int(group_sizes.max()) if len(group_sizes) else 0
         H = max(-(-max(H, 1) // pad_halo_to_multiple) * pad_halo_to_multiple,
                 pad_halo_to_multiple)
         halo_size = H
         send_idx = np.zeros((P, P, H), np.int32)
-        # global sender id -> halo-table slot, per needer q
-        slot_maps = [dict() for _ in range(P)]
-        for p in range(P):
-            for q in range(P):
-                rows = needed[p][q]
-                if len(rows) > H:
-                    raise ValueError("halo overflow (increase padding)")
-                send_idx[p, q, :len(rows)] = rows - p * npp
-                for h, gid in enumerate(rows):
-                    slot_maps[q][int(gid)] = npp + p * H + h
+        if len(group):
+            send_idx[u_p, u_q, rank] = (u_s - u_p * npp).astype(np.int32)
+        # remap every edge: own -> local row, remote -> npp + p*H + rank
+        slot_of_remote = npp + u_p[inv] * H + rank[inv]
+        senders_halo_flat = np.where(
+            remote_mask,
+            np.zeros(E, np.int64), s_sorted - q_of_edge * npp)
+        senders_halo_flat[remote_mask] = slot_of_remote
         senders_halo = np.zeros((P, e_max), np.int32)
         own_by_part = []
         for q in range(P):
             lo, hi = offsets[q], offsets[q + 1]
-            n = hi - lo
-            sq = s_sorted[lo:hi]
-            local = sq - q * npp
-            remote = np.asarray([slot_maps[q].get(int(gid), 0)
-                                 for gid in sq], np.int32)
-            own = (sq // npp) == q
-            senders_halo[q, :n] = np.where(own, local, remote)
-            own_by_part.append(own)
+            senders_halo[q, :hi - lo] = senders_halo_flat[lo:hi]
+            own_by_part.append(~remote_mask[lo:hi])
 
         # Interior/boundary split: interior edges (local sender) aggregate
         # while the all_to_all is in flight; boundary edges read the received

@@ -41,6 +41,57 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_train_step_dp(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    axis_name: str = "batch",
+):
+    """Data-parallel train step over the leading batch axis (SURVEY §2.3 DP
+    plan): parameters/optimizer state replicated, every batch argument
+    sharded on ``axis_name``, gradients averaged by XLA's GSPMD partitioner
+    (the mean over the batch inserts the all-reduce over ICI — no hand-rolled
+    pmap/psum).
+
+    Per-sample graphs must share one structure, matching the reference's
+    batching constraint (docs/src/index.md:66). Returns ``(step, mesh)``;
+    ``step(params, opt_state, *batch)`` like ``make_train_step``. Batch
+    leading dims must be divisible by the mesh size.
+    """
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis_name))
+
+    def step(params, opt_state, *batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_opt, loss, None
+
+    def shardings_like(tree, sh):
+        return jax.tree_util.tree_map(lambda _: sh, tree)
+
+    def wrapped(params, opt_state, *batch):
+        f = jax.jit(
+            step,
+            in_shardings=(shardings_like(params, repl),
+                          shardings_like(opt_state, repl))
+            + tuple(shardings_like(b, batch_sh) for b in batch),
+            out_shardings=(shardings_like(params, repl),
+                           shardings_like(opt_state, repl), repl, None),
+        )
+        with mesh:
+            return f(params, opt_state, *batch)
+
+    return wrapped, mesh
+
+
 @dataclasses.dataclass
 class MetricsLogger:
     """Minimal metrics sink: in-memory history + optional JSONL file

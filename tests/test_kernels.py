@@ -244,3 +244,85 @@ def test_precompute_self_loops_keeps_gcn_fast(recwarn):
         set_spmm_mode("auto")
     np.testing.assert_allclose(np.asarray(y_w), np.asarray(y_w_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------- segment max/min kernel
+def _ref_segmax(s_or_none, r, m, n):
+    out = np.full((n, m.shape[1]), -np.inf, np.float32)
+    for k in range(len(r)):
+        out[r[k]] = np.maximum(out[r[k]], m[k])
+    return out
+
+
+@pytest.mark.parametrize("n,e,f,tn,te", [
+    (50, 300, 16, 8, 32),
+    (96, 1000, 128, 16, 64),
+    (33, 77, 24, 8, 16),
+])
+def test_segment_max_kernel_matches_reference(n, e, f, tn, te):
+    from neuralgraphpde.kernels.segment_kernels import _tiled_segment_max_fwd
+
+    rng = np.random.default_rng(0)
+    r = np.sort(rng.integers(0, n, e))
+    m = rng.normal(size=(e, f)).astype(np.float32)
+    tcsr = build_tiled_csr(np.arange(e), r, n, tn=tn, te=te)
+    got = np.asarray(_tiled_segment_max_fwd(tcsr, jnp.asarray(m),
+                                            interpret=True))[:n]
+    want = _ref_segmax(None, r, m, n)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_segment_max_gradient_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from neuralgraphpde.kernels.segment_kernels import tiled_segment_max
+
+    rng = np.random.default_rng(1)
+    n, e, f = 40, 200, 8
+    r = np.sort(rng.integers(0, n, e))
+    m = jnp.asarray(rng.normal(size=(e, f)).astype(np.float32))
+    tcsr = build_tiled_csr(np.arange(e), r, n, tn=8, te=32)
+    recv = jnp.asarray(r.astype(np.int32))
+
+    def loss_pal(m):
+        out = tiled_segment_max(m, tcsr, recv)[:n]
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0) ** 2)
+
+    def loss_xla(m):
+        out = jax.ops.segment_max(m, recv, num_segments=n,
+                                  indices_are_sorted=True)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        ga = jax.grad(loss_pal)(m)
+    gr = jax.grad(loss_xla)(m)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_aggregate_neighbors_max_min_dispatch(monkeypatch):
+    """max/min aggregation routes through the Pallas kernel on sorted graphs
+    and matches the XLA reference (including the -inf empty convention and
+    negation trick for min)."""
+    import importlib
+
+    from neuralgraphpde.ops.message_passing import aggregate_neighbors
+    from neuralgraphpde.ops.spmm import precompute
+
+    spmm_mod = importlib.import_module("neuralgraphpde.ops.spmm")
+    rng = np.random.default_rng(2)
+    n, e, f = 64, 400, 12
+    g = GnnGraph.from_coo(rng.integers(0, n, e), rng.integers(0, n, e),
+                          num_nodes=n)
+    g = precompute(g, dense=False, pallas=True, tn=8, te=64)
+    monkeypatch.setattr(spmm_mod, "_pallas_available", lambda: True)
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = jnp.asarray(rng.normal(size=(e, f)).astype(np.float32))
+    for aggr, ref in (("max", jax.ops.segment_max),
+                      ("min", jax.ops.segment_min)):
+        with pltpu.force_tpu_interpret_mode():
+            got = aggregate_neighbors(g, aggr, m)
+        want = ref(m, g.receivers, num_segments=n, indices_are_sorted=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)

@@ -16,11 +16,9 @@ import time
 
 import jax
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# NB: do NOT enable the persistent compilation cache here — cache hits ship
+# the serialized executable through the tunnel relay, which hangs or 413s
+# (docs/tpu_design.md, measured r2).
 
 import jax.numpy as jnp
 import numpy as np
@@ -111,6 +109,17 @@ def main():
         lambda v: jnp.sum(banded_spmm_pallas(v, bm, bm_rev) ** 2)))(xg)
     gg_ref = jax.jit(jax.grad(lambda v: jnp.sum(xla_mesh(v) ** 2)))(xg)
     check("banded_f32_grad", gg_pal, gg_ref, 1e-4)
+
+    # ---------------- segment max (segmented-scan kernel) ----------------
+    from neuralgraphpde.kernels.segment_kernels import _tiled_segment_max_fwd
+
+    tcsr_e = build_tiled_csr(np.arange(e), r, n)
+    msgs = jnp.asarray(rng.normal(size=(e, F)).astype(np.float32))
+    r_d = jnp.asarray(r.astype(np.int32))
+    y_max = jax.jit(lambda m: _tiled_segment_max_fwd(tcsr_e, m)[:n])(msgs)
+    y_max_ref = jax.jit(lambda m: jax.ops.segment_max(
+        m, r_d, num_segments=n, indices_are_sorted=True))(msgs)
+    check("segment_max_fwd", y_max, y_max_ref, 1e-6)
 
     # ---------------- fused GNO kernel ----------------
     from neuralgraphpde.kernels.gno_kernels import (
