@@ -21,20 +21,23 @@ A random-graph secondary (2^18 nodes, deg 16: xla vs tcsr_bf16) is printed
 as a comment line for regression tracking of the gather path.
 
 Robustness (see docs/tpu_design.md): the tunneled TPU backend has
-minute-scale compile/session-warmup variance, stalls on large device→host
-reads, and hangs when the persistent compilation cache tries to ship
-serialized executables through the relay (so no compilation cache here).
-All paths run in ONE worker subprocess that streams each result to a file
-as it lands; the parent enforces an overall timeout and harvests whatever
-completed. Sync is via small scalar reads only; steady-state time is the
-difference between a long and a short loop of the same compiled family.
+minute-scale per-process session warm-up, stalls on large device→host
+reads, hangs when the persistent compilation cache is enabled, and rejects
+oversized compile requests (HTTP 413) — and a jit that CLOSES OVER a large
+array embeds it in the HLO as a literal (a closed-over band tensor is a
+940 MB compile request). So: graph structure is passed to the jitted loop
+as an argument, each GRAPH (mesh/rand) runs in its own worker subprocess
+(warm-up amortized across its paths), each path compiles exactly ONE
+program (the loop length is a traced operand), results stream to a shared
+file, and the parent enforces per-worker and overall timeouts, harvesting
+whatever completed. Sync is via small scalar reads only; steady-state time
+is the difference between a long and a short loop of the same program.
 
 Prints ONE JSON line (last line):
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 import subprocess
@@ -48,9 +51,14 @@ ITERS_SHORT, ITERS_LONG = 4, 24
 RAND_NODES = 1 << 18
 RAND_DEG = 16
 TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
+MESH_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_MESH_TIMEOUT", "1200"))
+# xla first (the baseline the metric needs), then the headline banded paths;
+# tcsr last (sacrificial if the relay starts rejecting compiles)
+JOBS = [("mesh", ("xla", "banded_bf16", "banded_f32", "tcsr_bf16")),
+        ("rand", ("xla", "tcsr_bf16"))]
 
 
-def _worker(outfile: str) -> None:
+def _worker(outfile: str, tag: str, paths) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,112 +79,116 @@ def _worker(outfile: str) -> None:
     w = jnp.asarray(
         (rng.normal(size=(FEAT, FEAT)) / np.sqrt(FEAT)).astype(np.float32))
 
+    if tag == "mesh":
+        g = grid_graph_2d(MESH_NX, MESH_NY, diagonals=True)
+        s_np, r_np = np.asarray(g.senders), np.asarray(g.receivers)
+        n, E = g.num_nodes, g.num_edges
+        senders_d, receivers_d = g.senders, g.receivers
+        emit(f"INFO mesh {MESH_NX}x{MESH_NY} diag: n={n} E={E}")
+    else:
+        E = RAND_NODES * RAND_DEG
+        n = RAND_NODES
+        s_np = rng.integers(0, n, E, dtype=np.int64).astype(np.int32)
+        r_np = np.sort(rng.integers(0, n, E, dtype=np.int64)).astype(np.int32)
+        senders_d, receivers_d = jnp.asarray(s_np), jnp.asarray(r_np)
+
+    deg = np.bincount(r_np, minlength=n).astype(np.float32)
+    c = jnp.asarray((1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(n, FEAT)).astype(np.float32))
+
+    # NB: graph structure (indices / tilings / bands) is passed to the
+    # jitted loop as an ARGUMENT, never closed over — closure-captured
+    # arrays are embedded in the HLO as literals, and the relay rejects
+    # large compile requests (a closed-over band tensor produced a 940 MB
+    # HLO proto; docs/tpu_design.md).
+    def make_spmm(path):
+        if path == "xla":
+            def spmm(h, st):
+                sd, rd = st
+                xj = jnp.take(h, sd, axis=0)
+                return jax.ops.segment_sum(xj, rd, num_segments=n,
+                                           indices_are_sorted=True)
+
+            return spmm, (senders_d, receivers_d)
+        if path == "tcsr_bf16":
+            tcsr = build_tiled_csr(s_np, r_np, n)
+
+            def spmm(h, st):
+                return _tiled_segment_spmm_fwd(
+                    st, h, compute_dtype=jnp.bfloat16)[:n]
+
+            return spmm, tcsr
+        if path in ("banded_f32", "banded_bf16"):
+            dtype = jnp.bfloat16 if path.endswith("bf16") else np.float32
+            bm = build_banded(s_np, r_np, n, tb=256, dtype=dtype)
+            if bm is None:
+                return None, None
+
+            def spmm(h, st):
+                return _banded_spmm_fwd(st, h)
+
+            return spmm, bm
+        raise ValueError(path)
+
     def sync(v):
         return float(jnp.sum(v[0, :8]))
 
-    def run_paths(tag, E, c, x, paths):
-        for name, spmm in paths:
-            try:
-                @functools.partial(jax.jit, static_argnums=(1,))
-                def loop(x0, iters, spmm=spmm):
-                    def rhs(v):
-                        h = v * c[:, None]
-                        h = spmm(h)
-                        h = h * c[:, None]
-                        h = jnp.dot(h, w, preferred_element_type=h.dtype)
-                        return jnp.tanh(h)
+    for path in paths:
+        try:
+            spmm, struct = make_spmm(path)
+            if spmm is None:
+                emit(f"FAIL {tag} {path} NotBanded")
+                continue
 
-                    return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v),
-                                             x0)
+            @jax.jit
+            def loop(x0, iters, struct, spmm=spmm):
+                # iters traced -> ONE compiled program per path
+                def rhs(v):
+                    h = v * c[:, None]
+                    h = spmm(h, struct)
+                    h = h * c[:, None]
+                    h = jnp.dot(h, w, preferred_element_type=h.dtype)
+                    return jnp.tanh(h)
 
-                sync(loop(x, ITERS_SHORT))
-                sync(loop(x, ITERS_LONG))
-                t0 = time.perf_counter()
-                sync(loop(x, ITERS_SHORT))
-                t_short = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                sync(loop(x, ITERS_LONG))
-                t_long = time.perf_counter() - t0
-                dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
-                emit(f"RESULT {tag} {name} {E / dt}")
-            except Exception as err:  # keep going: later paths may work
-                emit(f"FAIL {tag} {name} {type(err).__name__}")
+                return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
 
-    # ---------------- primary: 512x512 8-neighborhood PDE mesh ----------
-    g = grid_graph_2d(MESH_NX, MESH_NY, diagonals=True)
-    sg, rg = np.asarray(g.senders), np.asarray(g.receivers)
-    ng, Eg = g.num_nodes, g.num_edges
-    deg = np.bincount(rg, minlength=ng).astype(np.float32)
-    c = jnp.asarray((1.0 / np.sqrt(np.maximum(deg, 1.0))).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(ng, FEAT)).astype(np.float32))
-    senders_d, receivers_d = g.senders, g.receivers
-
-    def xla_mesh(h):
-        xj = jnp.take(h, senders_d, axis=0)
-        return jax.ops.segment_sum(xj, receivers_d, num_segments=ng,
-                                   indices_are_sorted=True)
-
-    emit(f"INFO mesh {MESH_NX}x{MESH_NY} diag: n={ng} E={Eg}")
-    tcsr_g = build_tiled_csr(sg, rg, ng)
-    bm32 = build_banded(sg, rg, ng, tb=256)
-    bm16 = build_banded(sg, rg, ng, tb=256, dtype=jnp.bfloat16)
-    emit(f"INFO bands offsets={None if bm32 is None else bm32.offsets}")
-
-    mesh_paths = [
-        ("xla", xla_mesh),
-        ("tcsr_bf16", lambda h: _tiled_segment_spmm_fwd(
-            tcsr_g, h, compute_dtype=jnp.bfloat16)[:ng]),
-    ]
-    if bm32 is not None:
-        mesh_paths.append(("banded_f32",
-                           lambda h: _banded_spmm_fwd(bm32, h)))
-    if bm16 is not None:
-        mesh_paths.append(("banded_bf16",
-                           lambda h: _banded_spmm_fwd(bm16, h)))
-    run_paths("mesh", Eg, c, x, mesh_paths)
-
-    # ---------------- secondary: random graph (gather-path regression) --
-    try:
-        E2 = RAND_NODES * RAND_DEG
-        s2 = rng.integers(0, RAND_NODES, E2, dtype=np.int64).astype(np.int32)
-        r2 = np.sort(
-            rng.integers(0, RAND_NODES, E2, dtype=np.int64)).astype(np.int32)
-        deg2 = np.bincount(r2, minlength=RAND_NODES).astype(np.float32)
-        c2 = jnp.asarray(
-            (1.0 / np.sqrt(np.maximum(deg2, 1.0))).astype(np.float32))
-        x2 = jnp.asarray(
-            rng.normal(size=(RAND_NODES, FEAT)).astype(np.float32))
-        tcsr2 = build_tiled_csr(s2, r2, RAND_NODES)
-        s2_d, r2_d = jnp.asarray(s2), jnp.asarray(r2)
-
-        def xla_rand(h):
-            xj = jnp.take(h, s2_d, axis=0)
-            return jax.ops.segment_sum(xj, r2_d, num_segments=RAND_NODES,
-                                       indices_are_sorted=True)
-
-        run_paths("rand", E2, c2, x2, [
-            ("xla", xla_rand),
-            ("tcsr_bf16", lambda h: _tiled_segment_spmm_fwd(
-                tcsr2, h, compute_dtype=jnp.bfloat16)[:RAND_NODES]),
-        ])
-    except Exception as err:
-        emit(f"FAIL rand setup {type(err).__name__}")
+            short = jnp.int32(ITERS_SHORT)
+            long_ = jnp.int32(ITERS_LONG)
+            sync(loop(x, short, struct))
+            sync(loop(x, long_, struct))
+            t0 = time.perf_counter()
+            sync(loop(x, short, struct))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sync(loop(x, long_, struct))
+            t_long = time.perf_counter() - t0
+            dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
+            emit(f"RESULT {tag} {path} {E / dt}")
+        except Exception as err:  # keep going: later paths may still work
+            emit(f"FAIL {tag} {path} {type(err).__name__}: {str(err)[:120]}")
 
 
 def main():
     if "--worker" in sys.argv:
-        _worker(sys.argv[sys.argv.index("--worker") + 1])
+        i = sys.argv.index("--worker")
+        _worker(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3].split(","))
         return
 
     outfile = tempfile.mktemp(prefix="ngpde_bench_")
     open(outfile, "w").close()
-    try:
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", outfile],
-            timeout=TOTAL_TIMEOUT_S, capture_output=True)
-    except subprocess.TimeoutExpired:
-        print("# worker hit overall timeout; using partial results",
-              flush=True)
+    deadline = time.time() + TOTAL_TIMEOUT_S
+    for tag, paths in JOBS:
+        budget = min(MESH_TIMEOUT_S, deadline - time.time())
+        if budget <= 60:
+            print(f"# skipping {tag}: out of time budget", flush=True)
+            continue
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 outfile, tag, ",".join(paths)],
+                timeout=budget, capture_output=True)
+        except subprocess.TimeoutExpired:
+            print(f"# {tag} worker hit timeout", flush=True)
 
     mesh, rand = {}, {}
     with open(outfile) as f:

@@ -97,6 +97,33 @@ def _local_spmm_block_tiled(x_block, send_idx_p, ts, tr, tw, tc,
     return tiled_segment_spmm(table, tcsr, None)[:npp]
 
 
+def _local_spmm_block_banded_overlap(x_block, band, band_rev, s_bnd, r_bnd,
+                                     m_bnd, send_idx_p, npp, offsets, tb,
+                                     axis_name=GRAPH_AXIS):
+    """Interior aggregation on the streaming banded kernel while the
+    all_to_all is in flight; boundary edges consume the received halo rows
+    (partition_graph(banded_tb=...) — the multi-chip mesh fast path)."""
+    from ..kernels.banded_kernels import banded_spmm_pallas
+    from ..ops.bsr import BandedMatrix
+
+    send_rows = jnp.take(x_block, send_idx_p[0], axis=0)
+    halo_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
+                                   concat_axis=0, tiled=False)
+    nb = band.shape[2]
+    bm = BandedMatrix(bands=band[0], offsets=offsets, nb=nb, tb=tb,
+                      num_nodes=npp)
+    bm_rev = None
+    if band_rev is not None:
+        bm_rev = BandedMatrix(bands=band_rev[0], offsets=offsets, nb=nb,
+                              tb=tb, num_nodes=npp)
+    out = banded_spmm_pallas(x_block, bm, bm_rev)
+    tbl = halo_rows.reshape(-1, x_block.shape[-1])
+    xj_b = jnp.take(tbl, s_bnd[0], axis=0) * m_bnd[0]
+    out = out + jax.ops.segment_sum(
+        xj_b, r_bnd[0], num_segments=npp, indices_are_sorted=True)
+    return out
+
+
 def sharded_spmm(
     pg: PartitionedGraph,
     x: jax.Array,
@@ -107,9 +134,34 @@ def sharded_spmm(
 
     ``x``: (padded_nodes, F) sharded ``P(axis_name, None)``. Returns the same
     sharding. Uses the targeted all_to_all halo when the partition carries
-    the metadata; all_gather otherwise.
+    the metadata; all_gather otherwise. With per-partition bands
+    (``partition_graph(banded_tb=...)``) the interior aggregation runs on
+    the Pallas streaming banded kernel.
     """
     npp = pg.nodes_per_part
+
+    if pg.band_data is not None:
+        offsets, tb = pg.band_offsets, pg.band_tb
+        has_rev = pg.band_data_rev is not None
+
+        def body(x_block, band, *rest):
+            band_rev, rest = (rest[0], rest[1:]) if has_rev else (None, rest)
+            s_bnd, r_bnd, m_bnd, send_idx = rest
+            return _local_spmm_block_banded_overlap(
+                x_block, band, band_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
+                offsets, tb, axis_name)
+
+        band_spec = P(axis_name, *(None,) * 4)
+        specs = ((P(axis_name, None), band_spec)
+                 + ((band_spec,) if has_rev else ())
+                 + (P(axis_name, None), P(axis_name, None),
+                    P(axis_name, None, None), P(axis_name, None, None)))
+        args = ((x, pg.band_data)
+                + ((pg.band_data_rev,) if has_rev else ())
+                + (pg.senders_bnd, pg.recv_bnd, pg.mask_bnd, pg.send_idx))
+        f = jax.shard_map(body, mesh=mesh, in_specs=specs,
+                          out_specs=P(axis_name, None), check_vma=False)
+        return f(*args)
 
     if pg.tile_senders is not None:
         tn, te = pg.tile_tn, pg.tile_te
@@ -196,6 +248,7 @@ def sharded_gcn_forward(
     """
     in_dims, out_dims = weight.shape
     npp = pg.nodes_per_part
+    use_banded = pg.band_data is not None
     use_overlap = pg.senders_int is not None
     use_halo = pg.senders_halo is not None
 
@@ -214,6 +267,32 @@ def sharded_gcn_forward(
         if bias is not None:
             agg = agg + bias
         return activation(agg) * nmask
+
+    if use_banded:
+        offsets, tb = pg.band_offsets, pg.band_tb
+        has_rev = pg.band_data_rev is not None
+
+        def body(x_block, deg, nmask, band, *rest):
+            band_rev, rest = (rest[0], rest[1:]) if has_rev else (None, rest)
+            s_bnd, r_bnd, m_bnd, send_idx = rest
+            h, c = pre(x_block, deg[0])
+            agg = _local_spmm_block_banded_overlap(
+                h, band, band_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
+                offsets, tb, axis_name)
+            return post(agg, c, nmask[0])
+
+        band_spec = P(axis_name, *(None,) * 4)
+        specs = ((P(axis_name, None), P(axis_name, None),
+                  P(axis_name, None, None), band_spec)
+                 + ((band_spec,) if has_rev else ())
+                 + (P(axis_name, None), P(axis_name, None),
+                    P(axis_name, None, None), P(axis_name, None, None)))
+        args = ((x, pg.in_degree, pg.node_mask, pg.band_data)
+                + ((pg.band_data_rev,) if has_rev else ())
+                + (pg.senders_bnd, pg.recv_bnd, pg.mask_bnd, pg.send_idx))
+        f = jax.shard_map(body, mesh=mesh, in_specs=specs,
+                          out_specs=P(axis_name, None), check_vma=False)
+        return f(*args)
 
     if use_overlap:
         def body(x_block, deg, nmask, s_int, r_int, m_int, s_bnd, r_bnd,

@@ -62,6 +62,15 @@ class PartitionedGraph:
     senders_bnd: Optional[jax.Array] = None  # (P, Eb_max) int32 halo-row ids
     recv_bnd: Optional[jax.Array] = None  # (P, Eb_max) int32
     mask_bnd: Optional[jax.Array] = None  # (P, Eb_max, 1) float32
+    # --- per-partition banded storage of the INTERIOR edges (optional,
+    # partition_graph(banded_tb=...)): the streaming banded kernel runs on
+    # each device's local block while the halo is in flight; boundary edges
+    # stay on the split arrays above. band_offsets is the union over
+    # partitions (absent bands are zero blocks).
+    band_data: Optional[jax.Array] = None  # (P, n_bands, nb, TB, TB)
+    band_data_rev: Optional[jax.Array] = None  # A^T bands (for VJPs)
+    band_offsets: tuple = ()
+    band_tb: int = 0
     # per-partition edge features (P, E_max, F), permuted like the edges
     edata: FeatureDict = dataclasses.field(default_factory=dict)
     # node features (padded_nodes, F) — shard row-wise like the inputs
@@ -85,24 +94,28 @@ class PartitionedGraph:
                     self.in_degree, self.node_mask, self.send_idx,
                     self.senders_halo, self.senders_int, self.recv_int,
                     self.mask_int, self.senders_bnd, self.recv_bnd,
-                    self.mask_bnd, self.edata, self.ndata,
+                    self.mask_bnd, self.band_data, self.band_data_rev,
+                    self.edata, self.ndata,
                     self.tile_senders, self.tile_recv, self.tile_wmask,
                     self.tile_chunk)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
-               self.num_edges, self.halo_size, self.tile_tn, self.tile_te)
+               self.num_edges, self.halo_size, self.tile_tn, self.tile_te,
+               self.band_offsets, self.band_tb)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (senders_global, receivers_local, edge_mask, in_degree, node_mask,
          send_idx, senders_halo, senders_int, recv_int, mask_int,
-         senders_bnd, recv_bnd, mask_bnd, edata, ndata, tile_senders,
+         senders_bnd, recv_bnd, mask_bnd, band_data, band_data_rev,
+         edata, ndata, tile_senders,
          tile_recv, tile_wmask, tile_chunk) = children
-        P, npp, n, e, h, ttn, tte = aux
+        P, npp, n, e, h, ttn, tte, boffs, btb = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
                    senders_int, recv_int, mask_int, senders_bnd, recv_bnd,
-                   mask_bnd, dict(edata), dict(ndata), tile_senders,
+                   mask_bnd, band_data, band_data_rev, boffs, btb,
+                   dict(edata), dict(ndata), tile_senders,
                    tile_recv, tile_wmask, tile_chunk, ttn, tte)
 
 
@@ -116,6 +129,9 @@ def partition_graph(
     tiled: bool = False,
     tile_tn: int = 0,
     tile_te: int = 0,
+    banded_tb: int = 0,
+    banded_dtype=None,
+    banded_max_bands: int = 16,
 ) -> PartitionedGraph:
     """Partition ``g`` by receiver into contiguous node blocks.
 
@@ -123,6 +139,13 @@ def partition_graph(
     each device sends only the boundary rows its peers' edges reference
     (all_to_all halo) instead of all-gathering every node row. For spatially
     ordered meshes the halo volume is a small fraction of the node count.
+
+    ``banded_tb > 0`` additionally packs each partition's INTERIOR edges
+    into per-partition diagonal-band block storage (offsets unioned across
+    partitions) so the sharded SpMM runs the streaming banded kernel on the
+    local block while the halo exchange is in flight — the multi-chip mesh
+    fast path. Skipped (with zero-band fields) when the interior structure
+    is not banded within ``banded_max_bands`` diagonals.
     """
     P = num_partitions
     if g.host_coo is not None:
@@ -294,6 +317,10 @@ def partition_graph(
             senders_bnd=jnp.asarray(s_bnd), recv_bnd=jnp.asarray(r_bnd),
             mask_bnd=jnp.asarray(m_bnd[..., None]),
         )
+        if banded_tb > 0:
+            split_kw.update(_build_partition_bands(
+                s_int, r_int, m_int, P, npp, banded_tb, banded_dtype,
+                banded_max_bands))
 
     return PartitionedGraph(
         senders_global=jnp.asarray(senders_g),
@@ -317,6 +344,43 @@ def partition_graph(
         **split_kw,
         **tile_kw,
     )
+
+
+def _build_partition_bands(s_int, r_int, m_int, P, npp, tb, dtype,
+                           max_bands):
+    """Per-partition banded storage of the interior edges (+ the reversed
+    orientation for VJPs), built with one on-device scatter-add each."""
+    nb = -(-npp // tb)
+    valid = m_int > 0
+    sl = s_int[valid].astype(np.int64)
+    rl = r_int[valid].astype(np.int64)
+    qv = np.broadcast_to(np.arange(P)[:, None], m_int.shape)[valid]
+    offs_fwd = np.unique(sl // tb - rl // tb)
+    # refuse only when most possible diagonals are populated (then the
+    # structure is effectively dense and the tiled path is better)
+    if (len(offs_fwd) > max_bands
+            or len(offs_fwd) > max(0.6 * (2 * nb - 1), 2)):
+        return {}
+    jdtype = (jnp.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
+              else jnp.float32)
+    # forward and reverse (A^T, for the VJP) share one static offset tuple
+    offs = np.unique(np.concatenate([offs_fwd, -offs_fwd]))
+    if len(offs) > max_bands:
+        offs = offs_fwd  # forward-only; the VJP transposes on the fly
+
+    def scatter(src, dst):
+        k = np.searchsorted(offs, src // tb - dst // tb)
+        flat = (((qv * len(offs) + k) * nb + dst // tb) * tb
+                + dst % tb) * tb + (src % tb)
+        shape = (P, len(offs), nb, tb, tb)
+        return jnp.zeros((int(np.prod(shape)),), jnp.float32).at[
+            jnp.asarray(flat)].add(1.0).reshape(shape).astype(jdtype)
+
+    band = scatter(sl, rl)
+    # the reverse build is valid iff every negated forward offset is present
+    band_rev = scatter(rl, sl) if np.all(np.isin(-offs_fwd, offs)) else None
+    return dict(band_data=band, band_data_rev=band_rev,
+                band_offsets=tuple(int(d) for d in offs), band_tb=tb)
 
 
 def reorder_for_partition(g: GnnGraph, num_partitions: int):

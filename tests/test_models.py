@@ -1,4 +1,6 @@
 """Model-zoo smoke + learning tests on small synthetic data (CPU)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,3 +135,23 @@ def test_dataset_generators_shapes():
     dd = darcy_dataset(num_samples=1, n=6, radius=0.4)
     assert dd.u.shape == (1, 36, 1)
     assert np.all(np.isfinite(dd.u))
+
+
+@pytest.mark.skipif(not os.environ.get("NGPDE_SLOW"),
+                    reason="full VMH parity run (~hours on CPU, minutes on "
+                           "TPU); set NGPDE_SLOW=1. Curve recorded in "
+                           "PARITY.md")
+def test_vmh_full_parity_curve():
+    """BASELINE.md parity target: train the full reference VMH configuration
+    (24 sims x 3000 Delaunay points, Rprop, 200 epochs — reference
+    docs/src/tutorials/VMH.md:53-148) and pin the final train MSE at or
+    below the reference's published 200-epoch value 0.00098 x margin."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "train_vmh", os.path.join(os.path.dirname(__file__), "..",
+                                  "examples", "train_vmh.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    logger = mod.main(mod.Config(num_sims=24, num_points=3000, epochs=200))
+    final = logger.history[-1]["train_mse"]
+    assert final <= 1e-3, f"final train MSE {final} vs reference 0.00098"
