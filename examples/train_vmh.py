@@ -41,7 +41,7 @@ def main(cfg: Config):
     from neuralgraphpde import precompute, setup, update_graph
     from neuralgraphpde.data.pde import convection_diffusion_dataset
     from neuralgraphpde.models import vmh_model
-    from neuralgraphpde.train import MetricsLogger, adam, make_train_step, rprop
+    from neuralgraphpde.train import MetricsLogger, adam, rprop
 
     data = convection_diffusion_dataset(
         num_sims=cfg.num_sims, num_points=cfg.num_points, t_end=cfg.t_end,
@@ -70,22 +70,51 @@ def main(cfg: Config):
 
     opt = rprop(cfg.lr) if cfg.optimizer == "rprop" else adam(cfg.lr)
     opt_state = opt.init(ps)
-    step = make_train_step(loss_fn, opt, donate=False)
     logger = MetricsLogger(path=cfg.log_path or None)
-    rng = np.random.default_rng(cfg.seed)
     import time as _time
+
+    import optax as _optax
+
+    # The whole epoch loop runs ON DEVICE (lax.scan over epochs, inner scan
+    # over shuffled batches): the TPU relay has seconds-scale per-execute
+    # latency, so host-driven step loops dominate wall clock. One execute
+    # covers ``log_every`` epochs; only the logged scalars cross the link.
+    steps_per_epoch = max(cfg.num_sims // cfg.batch, 1)
+
+    def batch_body(carry, idx):
+        ps, opt_state = carry
+        ub = jnp.take(u, idx, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(ps, ub)
+        updates, opt_state = opt.update(grads, opt_state, ps)
+        ps = _optax.apply_updates(ps, updates)
+        return (ps, opt_state), loss
+
+    def epoch_body(carry, key):
+        perm = jax.random.permutation(key, cfg.num_sims)
+        idxs = perm[: steps_per_epoch * cfg.batch].reshape(
+            steps_per_epoch, cfg.batch)
+        carry, losses = jax.lax.scan(batch_body, carry, idxs)
+        return carry, jnp.mean(losses)
+
+    @jax.jit
+    def run_chunk(ps, opt_state, keys):
+        (ps, opt_state), mses = jax.lax.scan(epoch_body, (ps, opt_state),
+                                             keys)
+        return ps, opt_state, mses
+
+    log_every = 10
+    key = jax.random.PRNGKey(cfg.seed + 1)
     t0 = _time.time()
-    for epoch in range(cfg.epochs):
-        perm = rng.permutation(cfg.num_sims)
-        losses = []
-        for i in range(0, cfg.num_sims, cfg.batch):
-            idx = perm[i:i + cfg.batch]
-            ps, opt_state, loss, _ = step(ps, opt_state, u[idx])
-            losses.append(float(loss))
-        if (epoch + 1) % 10 == 0 or epoch == 0:
-            rec = logger.log(epoch + 1, train_mse=float(np.mean(losses)))
-            print(f"epoch {epoch + 1:4d} | train mse {rec['train_mse']:.5f} "
-                  f"| {_time.time()-t0:.0f}s", flush=True)
+    epoch = 0
+    while epoch < cfg.epochs:
+        n = min(log_every, cfg.epochs - epoch)
+        key, sub = jax.random.split(key)
+        ps, opt_state, mses = run_chunk(ps, opt_state,
+                                        jax.random.split(sub, n))
+        epoch += n
+        rec = logger.log(epoch, train_mse=float(mses[-1]))
+        print(f"epoch {epoch:4d} | train mse {rec['train_mse']:.5f} "
+              f"| {_time.time()-t0:.0f}s", flush=True)
     return logger
 
 
