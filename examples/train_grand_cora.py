@@ -27,18 +27,24 @@ class Config:
     lr: float = 1e-2
     epochs: int = 100
     seed: int = 0
+    data_path: str = ""  # LINQS cora.content/cora.cites dir; synthetic if empty
 
 
 def main(cfg: Config):
     from neuralgraphpde import add_self_loops, precompute, setup, update_graph
-    from neuralgraphpde.data import synthetic_cora
+    from neuralgraphpde.data import cora_dataset
     from neuralgraphpde.models import grand_model
     from neuralgraphpde.train import (
         MetricsLogger, accuracy, adam, make_train_step, masked_cross_entropy,
     )
 
-    data = synthetic_cora(cfg.num_nodes, cfg.num_edges, cfg.num_features,
-                          cfg.num_classes, seed=cfg.seed)
+    data = cora_dataset(cfg.data_path or None, num_nodes=cfg.num_nodes,
+                        num_edges=cfg.num_edges,
+                        num_features=cfg.num_features,
+                        num_classes=cfg.num_classes, seed=cfg.seed)
+    if cfg.data_path:
+        cfg.num_features = data.features.shape[1]
+        cfg.num_classes = data.num_classes
     g = precompute(add_self_loops(data.graph))
 
     model = grand_model(cfg.num_features, cfg.hidden, cfg.num_classes,
@@ -84,8 +90,11 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--nodes", type=int, default=2708)
     p.add_argument("--features", type=int, default=1433)
+    p.add_argument("--data-path", default="",
+                   help="directory with cora.content/cora.cites (real data)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     main(Config(epochs=args.epochs, num_nodes=args.nodes,
-                num_edges=args.nodes * 4, num_features=args.features))
+                num_edges=args.nodes * 4, num_features=args.features,
+                data_path=args.data_path))

@@ -33,7 +33,8 @@ class Config:
     # 'checkpoint' = the reference's InterpolatingAdjoint analog (stable on
     # the diffusive dynamics); 'backsolve' = classic continuous adjoint.
     adjoint: str = "checkpoint"
-    checkpoint_steps: int = 16
+    checkpoint_steps: int = 64
+    log_every: int = 10
     log_path: str = ""
 
 
@@ -61,7 +62,11 @@ def main(cfg: Config):
 
     u = jnp.asarray(data.u)  # (S, T, M, 1)
 
-    def loss_fn(ps, u_batch):
+    # CRITICAL for the tunneled TPU backend: ``u`` and ``st`` (graph arrays +
+    # kernel tilings) must be jit ARGUMENTS, not closure captures — captured
+    # arrays are embedded as HLO literal constants, and multi-MB literals make
+    # the relay compile pathologically slow (the r2 HLO-literal lesson).
+    def loss_fn(ps, u_batch, st):
         def one(u_traj):
             pred, _ = model(u_traj[0], ps, st)
             return jnp.mean((pred - u_traj) ** 2)
@@ -81,28 +86,28 @@ def main(cfg: Config):
     # covers ``log_every`` epochs; only the logged scalars cross the link.
     steps_per_epoch = max(cfg.num_sims // cfg.batch, 1)
 
-    def batch_body(carry, idx):
-        ps, opt_state = carry
-        ub = jnp.take(u, idx, axis=0)
-        loss, grads = jax.value_and_grad(loss_fn)(ps, ub)
-        updates, opt_state = opt.update(grads, opt_state, ps)
-        ps = _optax.apply_updates(ps, updates)
-        return (ps, opt_state), loss
-
-    def epoch_body(carry, key):
-        perm = jax.random.permutation(key, cfg.num_sims)
-        idxs = perm[: steps_per_epoch * cfg.batch].reshape(
-            steps_per_epoch, cfg.batch)
-        carry, losses = jax.lax.scan(batch_body, carry, idxs)
-        return carry, jnp.mean(losses)
-
     @jax.jit
-    def run_chunk(ps, opt_state, keys):
+    def run_chunk(ps, opt_state, keys, u, st):
+        # bodies close over the TRACED u/st (jit args) — no literal capture
+        def batch_body(carry, idx):
+            ps, opt_state = carry
+            ub = jnp.take(u, idx, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(ps, ub, st)
+            updates, opt_state = opt.update(grads, opt_state, ps)
+            ps = _optax.apply_updates(ps, updates)
+            return (ps, opt_state), loss
+
+        def epoch_body(carry, key):
+            perm = jax.random.permutation(key, cfg.num_sims)
+            idxs = perm[: steps_per_epoch * cfg.batch].reshape(
+                steps_per_epoch, cfg.batch)
+            carry, losses = jax.lax.scan(batch_body, carry, idxs)
+            return carry, jnp.mean(losses)
+
         (ps, opt_state), mses = jax.lax.scan(epoch_body, (ps, opt_state),
                                              keys)
         return ps, opt_state, mses
-
-    log_every = 10
+    log_every = cfg.log_every
     key = jax.random.PRNGKey(cfg.seed + 1)
     t0 = _time.time()
     epoch = 0
@@ -110,7 +115,7 @@ def main(cfg: Config):
         n = min(log_every, cfg.epochs - epoch)
         key, sub = jax.random.split(key)
         ps, opt_state, mses = run_chunk(ps, opt_state,
-                                        jax.random.split(sub, n))
+                                        jax.random.split(sub, n), u, st)
         epoch += n
         rec = logger.log(epoch, train_mse=float(mses[-1]))
         print(f"epoch {epoch:4d} | train mse {rec['train_mse']:.5f} "

@@ -3,7 +3,9 @@
 This container has zero network egress, so the real Cora/ogbn downloads are
 replaced by structurally-matched synthetic generators (same node/edge/feature
 counts, homophilous community structure so node classification is genuinely
-learnable). Loaders accept an optional ``path`` to real data when present.
+learnable). For real mounted data use :mod:`neuralgraphpde.data.loaders`
+(``load_cora`` / ``load_ogb_nodeprop``, or the ``cora_dataset(path=...)``
+dispatcher).
 """
 from __future__ import annotations
 

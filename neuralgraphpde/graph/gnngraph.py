@@ -13,8 +13,11 @@ and throughout reference src/layers.jl), redesigned as a JAX pytree:
   arrays with a leading entity dimension: ``(num_nodes, F)``, ``(num_edges, F)``,
   ``(num_graphs, F)`` — the transpose of the reference's Julia column-major
   ``(F, n)`` layout, chosen so the feature dimension is minor (TPU lane dim).
-- Keys are kept in sorted order so that concatenation order is deterministic
-  across jit boundaries (JAX sorts dict keys when flattening pytrees).
+- Feature-dict keys keep their **user insertion order** (the reference
+  concatenates NamedTuple values in declaration order, reference
+  src/layers.jl:106,316). Plain-dict pytree flattening would re-sort keys at
+  every jit boundary, so ``tree_flatten`` emits the values as an ordered tuple
+  and records the key order in static aux data.
 """
 from __future__ import annotations
 
@@ -42,7 +45,12 @@ def _normalize_features(
     default_key: str,
     what: str,
 ) -> FeatureDict:
-    """Normalize a feature argument into a sorted dict of 2D+ arrays."""
+    """Normalize a feature argument into a dict of 2D+ arrays.
+
+    Key order is the mapping's insertion order — it defines feature-concat
+    order in layer messages, matching the reference's NamedTuple declaration
+    order (reference src/layers.jl:106,316).
+    """
     if data is None:
         return {}
     if isinstance(data, Mapping):
@@ -50,7 +58,7 @@ def _normalize_features(
     else:
         items = {default_key: data}
     out = {}
-    for key in sorted(items):
+    for key in items:
         arr = items[key]
         if not isinstance(arr, (jnp.ndarray, np.ndarray, jax.core.Tracer)):
             arr = jnp.asarray(arr)
@@ -199,36 +207,43 @@ class GnnGraph:
         return self.replace(**kwargs) if kwargs else dataclasses.replace(self)
 
     # ---------------------------------------------------------------- pytree
+    # Feature dicts are flattened as ordered value-tuples with the key order
+    # in static aux data: plain-dict flattening would re-sort keys at every
+    # jit boundary and silently change feature-concat order (the reference's
+    # concat order is NamedTuple declaration order, src/layers.jl:106,316).
     def tree_flatten(self):
         children = (
             self.senders,
             self.receivers,
-            self.ndata,
-            self.edata,
-            self.gdata,
+            tuple(self.ndata.values()),
+            tuple(self.edata.values()),
+            tuple(self.gdata.values()),
             self.graph_indicator,
-            self.cache,
+            tuple(self.cache.values()),
         )
         aux = (self.num_nodes, self.num_edges, self.num_graphs,
-               self.receivers_sorted)
+               self.receivers_sorted,
+               tuple(self.ndata), tuple(self.edata), tuple(self.gdata),
+               tuple(self.cache))
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        senders, receivers, ndata, edata, gdata, graph_indicator, cache = children
-        num_nodes, num_edges, num_graphs, receivers_sorted = aux
+        senders, receivers, nvals, evals, gvals, graph_indicator, cvals = children
+        (num_nodes, num_edges, num_graphs, receivers_sorted,
+         nkeys, ekeys, gkeys, ckeys) = aux
         return cls(
             senders=senders,
             receivers=receivers,
-            ndata=dict(ndata),
-            edata=dict(edata),
-            gdata=dict(gdata),
+            ndata=dict(zip(nkeys, nvals)),
+            edata=dict(zip(ekeys, evals)),
+            gdata=dict(zip(gkeys, gvals)),
             graph_indicator=graph_indicator,
             num_nodes=num_nodes,
             num_edges=num_edges,
             num_graphs=num_graphs,
             receivers_sorted=receivers_sorted,
-            cache=dict(cache),
+            cache=dict(zip(ckeys, cvals)),
         )
 
     # -------------------------------------------------------------- equality

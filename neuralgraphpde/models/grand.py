@@ -25,7 +25,7 @@ def grand_model(
     solver: str = "tsit5",
     rtol: float = 1e-3,
     atol: float = 1e-3,
-    adjoint: str = "backsolve",
+    adjoint: str = "checkpoint",
     steps_per_interval: int = 8,
     initialgraph: Optional[GnnGraph] = None,
     rhs_depth: int = 2,

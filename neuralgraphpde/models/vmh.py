@@ -29,7 +29,7 @@ def vmh_model(
     rtol: float = 1e-3,
     atol: float = 1e-3,
     initialgraph: Optional[GnnGraph] = None,
-    adjoint: str = "backsolve",
+    adjoint: str = "checkpoint",
     checkpoint_steps: int = 128,
 ) -> NeuralGraphODE:
     """Reference architecture (VMH.md:75-89): ϕ is a tanh MLP

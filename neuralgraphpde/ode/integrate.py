@@ -343,21 +343,171 @@ def _zero_cot(leaf):
     return jnp.zeros_like(leaf)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _odeint_checkpoint(rhs, tab, rtol, atol, max_steps, chk_steps, y0, ts,
-                       args):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _odeint_checkpoint(rhs, tab, rtol, atol, max_steps, chk_steps, interpolate,
+                       y0, ts, args):
     return _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts, args,
-                                interpolate=False)
+                                interpolate=interpolate)
 
 
-def _chk_fwd(rhs, tab, rtol, atol, max_steps, chk_steps, y0, ts, args):
+def _chk_fwd(rhs, tab, rtol, atol, max_steps, chk_steps, interpolate, y0, ts,
+             args):
+    if interpolate:
+        # Hermite saves: the whole free-stepping trajectory is reproduced by
+        # a single replay from (ts[0], ys[0]) in the backward — nothing but
+        # the outputs themselves need saving (dt0 is recomputed).
+        ys = _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts,
+                                  args, interpolate=True)
+        return ys, (ys, ts, args)
     ys, dt_ins = _odeint_adaptive_fwd(rhs, tab, rtol, atol, max_steps, y0, ts,
                                       args, interpolate=False,
                                       collect_dt=True)
     return ys, (ys, ts, args, dt_ins)
 
 
-def _chk_bwd(rhs, tab, rtol, atol, max_steps, chk_steps, res, g):
+def _chk_bwd_hermite(rhs, tab, rtol, atol, max_steps, chk_steps, res, g):
+    """Checkpointed discrete adjoint for the Hermite dense-output forward.
+
+    The free-stepping forward never clamps its steps to save points, so the
+    entire trajectory is one deterministic sequence of steps independent of
+    ``ts[1:]``. The backward therefore does ONE global replay from
+    ``(ts[0], ys[0])`` recording every accepted step ``(t_k, dt_k, y_k)``
+    (buffer of ``chk_steps`` — here a bound on TOTAL accepted steps over the
+    whole span, not per save interval), maps each save time to the accepted
+    step whose interpolant produced it, and sweeps the steps in reverse.
+
+    Key structural fact: the cubic Hermite save value is LINEAR in the step's
+    four ingredients ``(y_k, f_k, y_{k+1}, f_{k+1})`` with scalar,
+    time-only coefficients — so each save's cotangent enters the step VJP as
+    a coefficient-weighted cotangent on those ingredients, and one
+    ``jax.vjp`` per step pulls both the trajectory cotangent and all of that
+    step's save cotangents back to ``(y_k, args)`` together.
+    """
+    ys, ts, args = res
+    T = ts.shape[0]
+    S = chk_steps
+
+    y0 = map_tree(lambda l: l[0], ys)
+    t0 = ts[0]
+    t_final = ts[-1]
+    f0 = rhs(t0, y0, args)
+    dt0 = _initial_step_size(rhs, t0, y0, f0, args, tab.order, rtol, atol)
+
+    # ---- global replay, recording accepted steps
+    buf_t = jnp.zeros((S,), ts.dtype)
+    buf_dt = jnp.zeros((S,), ts.dtype)
+    buf_y = map_tree(lambda l: jnp.zeros((S,) + l.shape, l.dtype), y0)
+
+    def cond(st):
+        _, _, t, _, n_acc, n_tot, *_ = st
+        return (t < t_final) & (n_tot < max_steps) & (n_acc < S)
+
+    def body(st):
+        y, f, t, dt, n_acc, n_tot, bt, bdt, by = st
+        y1, err, f_last = _rk_step(rhs, tab, t, y, dt, f, args)
+        ratio = _error_ratio(err, y, y1, rtol, atol)
+        accept = ratio <= 1.0
+        f1 = f_last if tab.fsal else rhs(t + dt, y1, args)
+        bt = bt.at[n_acc].set(jnp.where(accept, t, bt[n_acc]))
+        bdt = bdt.at[n_acc].set(jnp.where(accept, dt, bdt[n_acc]))
+        by = map_tree(
+            lambda b, l: b.at[n_acc].set(jnp.where(accept, l, b[n_acc])),
+            by, y)
+        y = _tree_where(accept, y1, y)
+        f = _tree_where(accept, f1, f)
+        t = jnp.where(accept, t + dt, t)
+        dt = _optimal_dt(dt, ratio, tab.order)
+        return (y, f, t, dt, n_acc + accept.astype(jnp.int32), n_tot + 1,
+                bt, bdt, by)
+
+    st = lax.while_loop(
+        cond, body,
+        (y0, f0, t0, dt0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+         buf_t, buf_dt, buf_y))
+    _, _, t_fin, _, n_acc, _, bt, bdt, by = st
+    ok = t_fin >= t_final
+
+    # ---- save -> serving-step map (first accepted step reaching the save)
+    t_ends = jnp.where(jnp.arange(S) < n_acc, bt + bdt,
+                       jnp.full((S,), jnp.inf, ts.dtype))
+    k_of = jnp.clip(jnp.searchsorted(t_ends, ts[1:], side="left"), 0, S - 1)
+
+    # Hermite coefficients per save (scalars; the interpolant is linear in
+    # the step ingredients with these weights — see _hermite_eval)
+    hk = bdt[k_of]
+    theta = (ts[1:] - bt[k_of]) / jnp.where(hk == 0, 1.0, hk)
+    th2 = theta * theta
+    th3 = th2 * theta
+    c_y0 = 2.0 * th3 - 3.0 * th2 + 1.0
+    c_f0 = hk * (th3 - 2.0 * th2 + theta)
+    c_y1 = -2.0 * th3 + 3.0 * th2
+    c_f1 = hk * (th3 - th2)
+
+    g_tail = map_tree(lambda l: l[1:], g)
+
+    def weighted(coefs, mask):
+        w = coefs * mask
+        return map_tree(
+            lambda l: jnp.tensordot(w.astype(l.dtype), l, axes=(0, 0)),
+            g_tail)
+
+    zero_args_bar = map_tree(_zero_cot, args)
+    y_bar = map_tree(lambda l: jnp.zeros_like(l[-1]), g)
+
+    def back_step(c, k):
+        y_bar, args_bar = c
+
+        def do(c2):
+            y_bar, args_bar = c2
+            t_k, dt_k = bt[k], bdt[k]
+            y_k = map_tree(lambda b: b[k], by)
+            mask = (k_of == k).astype(ts.dtype)
+            A = (weighted(c_y0, mask), weighted(c_f0, mask),
+                 weighted(c_y1, mask), weighted(c_f1, mask))
+
+            def step_and_ingredients(y, a):
+                fp = rhs(t_k, y, a)
+                y1, _, f_last = _rk_step(rhs, tab, t_k, y, dt_k, fp, a)
+                f1 = f_last if tab.fsal else rhs(t_k + dt_k, y1, a)
+                return y1, (y, fp, y1, f1)
+
+            _, vjpf = jax.vjp(step_and_ingredients, y_k, args)
+            yb, ab = vjpf((y_bar, A))
+            return yb, map_tree(_acc_cot, args_bar, ab)
+
+        return lax.cond(k < n_acc, do, lambda c2: c2,
+                        (y_bar, args_bar)), None
+
+    (y_bar, args_bar), _ = lax.scan(back_step, (y_bar, zero_args_bar),
+                                    jnp.arange(S - 1, -1, -1))
+    y_bar = map_tree(lambda a, b: a + b, y_bar, map_tree(lambda l: l[0], g))
+
+    # ts cotangents: continuous boundary formula <g_i, f(t_i, y_i)> (same
+    # convention as the tstop and backsolve paths)
+    def t_bar_body(carry, i):
+        y_i = map_tree(lambda l: l[i], ys)
+        g_i = map_tree(lambda l: l[i], g)
+        f_i = rhs(ts[i], y_i, args)
+        t_bar = sum(
+            jnp.sum(a * b) for a, b in zip(jax.tree_util.tree_leaves(g_i),
+                                           jax.tree_util.tree_leaves(f_i)))
+        return carry - t_bar, t_bar
+
+    t0_bar, ts_tail_bar = lax.scan(t_bar_body, jnp.zeros((), ts.dtype),
+                                   jnp.arange(1, T))
+
+    def poison(l):
+        if getattr(l, "dtype", None) == jax.dtypes.float0:
+            return l
+        return jnp.where(ok, l, jnp.nan)
+
+    y_bar = map_tree(poison, y_bar)
+    args_bar = map_tree(poison, args_bar)
+    ts_bar = jnp.concatenate([t0_bar[None], ts_tail_bar])
+    return (y_bar, ts_bar, args_bar)
+
+
+def _chk_bwd(rhs, tab, rtol, atol, max_steps, chk_steps, interpolate, res, g):
     """Checkpointed discrete adjoint (discretise-then-optimise) — the
     bounded-memory replacement for the reference's
     ``InterpolatingAdjoint(autojacvec=ZygoteVJP())`` training stack
@@ -383,7 +533,13 @@ def _chk_bwd(rhs, tab, rtol, atol, max_steps, chk_steps, res, g):
     If an interval needs more than ``chk_steps`` accepted steps the replay
     cannot represent it; the returned gradients are poisoned with NaN so the
     failure is visible (raise ``chk_steps`` or loosen tolerances).
+
+    With ``interpolate=True`` (Hermite dense-output saves) dispatch goes to
+    ``_chk_bwd_hermite`` — one global replay instead of per-interval replays.
     """
+    if interpolate:
+        return _chk_bwd_hermite(rhs, tab, rtol, atol, max_steps, chk_steps,
+                                res, g)
     ys, ts, args, dt_ins = res
     T = ts.shape[0]
     S = chk_steps
@@ -520,17 +676,20 @@ def odeint(
     Adjoints (reverse mode):
 
     - ``adjoint="checkpoint"`` (recommended for training): checkpointed
-      discrete adjoint — replays each save interval from its saved state and
-      backpropagates step-by-step (memory O(``checkpoint_steps`` x state)).
-      Stable on stiff/dissipative dynamics (diffusion); exact gradients of
-      the discrete solution. The analog of the reference's
+      discrete adjoint — replays the trajectory and backpropagates
+      step-by-step. Stable on stiff/dissipative dynamics (diffusion); exact
+      gradients of the discrete solution. The analog of the reference's
       ``InterpolatingAdjoint(autojacvec=ZygoteVJP())``
-      (docs/src/tutorials/graph_node.md:54-66). Forces ``tstop`` save
-      semantics (saves are step endpoints).
-    - ``adjoint="backsolve"`` (default, matching the classic neural-ODE
-      adjoint): continuous backsolve, O(1) memory in steps, but integrates
-      the state backwards — exponentially unstable when the dynamics are
-      dissipative over long spans.
+      (docs/src/tutorials/graph_node.md:54-66). Honors both interpolation
+      modes: with ``"tstop"``, replay is per save interval and
+      ``checkpoint_steps`` bounds accepted steps *per interval*; with
+      ``"hermite"`` (free stepping, dense-output saves) replay is one global
+      sweep and ``checkpoint_steps`` bounds accepted steps over the *whole
+      span*. Overflow poisons gradients with NaN (visible failure).
+    - ``adjoint="backsolve"`` (the classic neural-ODE adjoint): continuous
+      backsolve, O(1) memory in steps, but integrates the state backwards —
+      exponentially unstable when the dynamics are dissipative over long
+      spans.
     """
     if interpolation not in ("hermite", "tstop"):
         raise ValueError("interpolation must be 'hermite' or 'tstop'")
@@ -554,7 +713,9 @@ def odeint(
 
     if adjoint == "checkpoint":
         return _odeint_checkpoint(rhs2, tab, rtol, atol, max_steps,
-                                  checkpoint_steps, y0, ts, (args, consts))
+                                  checkpoint_steps,
+                                  interpolation == "hermite", y0, ts,
+                                  (args, consts))
     return _odeint_adaptive(rhs2, tab, rtol, atol, max_steps,
                             interpolation == "hermite", y0, ts,
                             (args, consts))

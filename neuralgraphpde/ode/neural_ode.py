@@ -42,7 +42,17 @@ class NeuralGraphODE(ContainerLayer):
     rtol: float = 1e-6
     atol: float = 1e-6
     max_steps: int = 10_000
-    adjoint: str = "backsolve"
+    # Default changed round 3 (was 'backsolve'): the continuous backsolve
+    # adjoint is exponentially unstable on dissipative dynamics — i.e. the
+    # diffusion PDEs this framework targets. 'checkpoint' is stable and is
+    # the analog of the reference tutorials' InterpolatingAdjoint
+    # (graph_node.md:54-66). Opt back in with adjoint='backsolve' for
+    # O(1)-memory training on non-stiff dynamics.
+    adjoint: str = "checkpoint"
+    # 'hermite' = free stepping + dense-output saves (DiffEq saveat
+    # semantics, no forced step endpoints — right for dense rollout
+    # training); 'tstop' = steps clamped to land on each save point.
+    interpolation: str = "hermite"
     steps_per_interval: int = 8
     checkpoint_steps: int = 128
     output: str = "all"
@@ -67,6 +77,7 @@ class NeuralGraphODE(ContainerLayer):
         else:
             ys = odeint(rhs, x, ts, ps, solver=self.solver, rtol=self.rtol,
                         atol=self.atol, max_steps=self.max_steps,
+                        interpolation=self.interpolation,
                         adjoint=self.adjoint,
                         checkpoint_steps=self.checkpoint_steps)
         if self.output == "last":

@@ -365,21 +365,42 @@ def sharded_propagate(
     """
     if pg.senders_halo is None:
         raise ValueError("sharded_propagate requires partition_graph(halo=True)")
-    if aggr not in ("sum", "mean"):
-        raise ValueError("distributed aggr supports 'sum'/'mean'")
+    if aggr not in ("sum", "mean", "max", "min", "prod"):
+        raise ValueError(
+            "distributed aggr supports 'sum'/'mean'/'max'/'min'/'prod'")
     npp = pg.nodes_per_part
-    ekeys = sorted(pg.edata)
+    ekeys = list(pg.edata)
 
+    # Edges are partitioned by receiver owner, so every node's full in-edge
+    # set is local to one partition: non-sum reductions need no cross-device
+    # combine — only the right identity element on padding edges. Empty
+    # segments follow the jax.ops convention (±inf / 1), matching the
+    # single-device ``segment_reduce`` path.
     def body(x_block, senders_h, recv_l, emask, send_idx, deg, *eblocks):
         table = _halo_table(x_block, send_idx, axis_name)
         xj = jnp.take(table, senders_h[0], axis=0)
         xi = jnp.take(x_block, recv_l[0], axis=0)
         e = {k: b[0] for k, b in zip(ekeys, eblocks)}
-        m = message(xi, xj, e) * emask[0]
-        out = jax.ops.segment_sum(m, recv_l[0], num_segments=npp,
-                                  indices_are_sorted=True)
-        if aggr == "mean":
-            out = out / jnp.maximum(deg[0], 1.0)[:, None]
+        m = message(xi, xj, e)
+        mask = emask[0] > 0
+        if aggr in ("sum", "mean"):
+            m = m * emask[0]
+            out = jax.ops.segment_sum(m, recv_l[0], num_segments=npp,
+                                      indices_are_sorted=True)
+            if aggr == "mean":
+                out = out / jnp.maximum(deg[0], 1.0)[:, None]
+        elif aggr == "max":
+            m = jnp.where(mask, m, -jnp.inf)
+            out = jax.ops.segment_max(m, recv_l[0], num_segments=npp,
+                                      indices_are_sorted=True)
+        elif aggr == "min":
+            m = jnp.where(mask, m, jnp.inf)
+            out = jax.ops.segment_min(m, recv_l[0], num_segments=npp,
+                                      indices_are_sorted=True)
+        else:  # prod
+            m = jnp.where(mask, m, 1.0)
+            out = jax.ops.segment_prod(m, recv_l[0], num_segments=npp,
+                                       indices_are_sorted=True)
         return out
 
     espec = tuple(P(axis_name, None, None) for _ in ekeys)

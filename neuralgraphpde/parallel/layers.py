@@ -111,16 +111,21 @@ class ShardedVMHConv(Layer):
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class ShardedMPPDEConv(Layer):
-    """Edge-partitioned MPPDEConv (single-graph batches): the message
+    """Edge-partitioned MPPDEConv (single-graph partitions): the message
     ``ϕ(h_i, h_j, u_i−u_j, x_i−x_j, θ)`` reads ``u``/``x`` from the
-    partition's node features, exchanged with the embeddings in one halo;
-    θ is replicated (passed at construction or zero-width)."""
+    partition's node features, exchanged with the embeddings in one halo.
+
+    θ follows the reference's gdata contract (src/layers.jl:397): read from
+    ``pg.gdata`` (concatenated across keys in declaration order, with
+    stop_gradient) and broadcast per-edge/per-node. It is tiny and
+    replicated, so the broadcast is free of communication. Batched graphs
+    (num_graphs > 1) are not supported distributed — a batch member's nodes
+    would straddle partitions; batch on the data-parallel axis instead."""
 
     phi: Layer
     psi: Layer
     mesh: Optional[Mesh] = None
     aggr: str = "mean"
-    theta_dim: int = 0
     axis_name: str = GRAPH_AXIS
     initialgraph: Optional[Callable] = None
 
@@ -131,38 +136,42 @@ class ShardedMPPDEConv(Layer):
 
     def initialstates(self, rng):
         k1, k2 = jax.random.split(rng)
-        st = {"phi": self.phi.initialstates(k1),
+        return {"phi": self.phi.initialstates(k1),
               "psi": self.psi.initialstates(k2),
               "graph": self.initialgraph() if self.initialgraph else None}
-        st["theta"] = jnp.zeros((1, self.theta_dim), jnp.float32)
-        return st
 
     def __call__(self, x, ps, st):
         from .halo import sharded_propagate
 
         pg: PartitionedGraph = st["graph"]
-        nd = [pg.ndata[k] for k in sorted(pg.ndata)]
+        if pg.num_graphs != 1:
+            raise ValueError(
+                "ShardedMPPDEConv supports single graphs only (got "
+                f"num_graphs={pg.num_graphs}); put batch members on the "
+                "data-parallel axis")
+        nd = [pg.ndata[k] for k in pg.ndata]  # declaration order
         fh = x.shape[-1]
-        widths = [v.shape[-1] for v in nd]
         x_aug = jnp.concatenate(
             [x] + [v.astype(x.dtype) for v in nd], axis=-1)
-        theta = st["theta"]
-        theta_e = None
+        if pg.gdata:
+            theta = jax.lax.stop_gradient(jnp.concatenate(
+                [v.reshape(1, -1).astype(x.dtype) for v in pg.gdata.values()],
+                axis=-1))
+        else:
+            theta = jnp.zeros((1, 0), x.dtype)
         cell = {"phi": st["phi"]}
 
         def message(xi, xj, e):
             hi, hj = xi[:, :fh], xj[:, :fh]
             di, dj = xi[:, fh:], xj[:, fh:]
-            th = jnp.broadcast_to(theta.astype(x.dtype),
-                                  (hi.shape[0], theta.shape[1]))
+            th = jnp.broadcast_to(theta, (hi.shape[0], theta.shape[1]))
             feats = jnp.concatenate([hi, hj, di - dj, th], axis=-1)
             m, cell["phi"] = self.phi(feats, ps["phi"], cell["phi"])
             return m
 
         m = sharded_propagate(pg, message, x_aug, self.mesh, aggr=self.aggr,
                               axis_name=self.axis_name)
-        th_n = jnp.broadcast_to(theta.astype(x.dtype),
-                                (x.shape[0], theta.shape[1]))
+        th_n = jnp.broadcast_to(theta, (x.shape[0], theta.shape[1]))
         y, st_psi = self.psi(
             jnp.concatenate([x, m, th_n], axis=-1), ps["psi"], st["psi"])
         return y, {**st, "phi": cell["phi"], "psi": st_psi}
@@ -203,7 +212,7 @@ class ShardedGNOConv(Layer):
         from .halo import sharded_propagate
 
         pg: PartitionedGraph = st["graph"]
-        nd = [pg.ndata[k] for k in sorted(pg.ndata)]
+        nd = [pg.ndata[k] for k in pg.ndata]  # declaration order
         fh = x.shape[-1]
         x_aug = jnp.concatenate(
             [x] + [v.astype(x.dtype) for v in nd], axis=-1)

@@ -75,6 +75,10 @@ class PartitionedGraph:
     edata: FeatureDict = dataclasses.field(default_factory=dict)
     # node features (padded_nodes, F) — shard row-wise like the inputs
     ndata: FeatureDict = dataclasses.field(default_factory=dict)
+    # per-graph features (num_graphs, F) — tiny, replicated on every device
+    # (the reference's gdata/θ contract, src/layers.jl:397)
+    gdata: FeatureDict = dataclasses.field(default_factory=dict)
+    num_graphs: int = 1
     # Optional per-partition Pallas tilings (leading P axis, chunk counts
     # padded to the max partition): lets shard_map bodies run the tiled-CSR
     # kernel on their local edges. Built by partition_graph(tiled=True).
@@ -95,12 +99,12 @@ class PartitionedGraph:
                     self.senders_halo, self.senders_int, self.recv_int,
                     self.mask_int, self.senders_bnd, self.recv_bnd,
                     self.mask_bnd, self.band_data, self.band_data_rev,
-                    self.edata, self.ndata,
+                    self.edata, self.ndata, self.gdata,
                     self.tile_senders, self.tile_recv, self.tile_wmask,
                     self.tile_chunk)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
                self.num_edges, self.halo_size, self.tile_tn, self.tile_te,
-               self.band_offsets, self.band_tb)
+               self.band_offsets, self.band_tb, self.num_graphs)
         return children, aux
 
     @classmethod
@@ -108,14 +112,14 @@ class PartitionedGraph:
         (senders_global, receivers_local, edge_mask, in_degree, node_mask,
          send_idx, senders_halo, senders_int, recv_int, mask_int,
          senders_bnd, recv_bnd, mask_bnd, band_data, band_data_rev,
-         edata, ndata, tile_senders,
+         edata, ndata, gdata, tile_senders,
          tile_recv, tile_wmask, tile_chunk) = children
-        P, npp, n, e, h, ttn, tte, boffs, btb = aux
+        P, npp, n, e, h, ttn, tte, boffs, btb, ng = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
                    senders_int, recv_int, mask_int, senders_bnd, recv_bnd,
                    mask_bnd, band_data, band_data_rev, boffs, btb,
-                   dict(edata), dict(ndata), tile_senders,
+                   dict(edata), dict(ndata), dict(gdata), ng, tile_senders,
                    tile_recv, tile_wmask, tile_chunk, ttn, tte)
 
 
@@ -341,6 +345,8 @@ def partition_graph(
              np.zeros((P * npp - N,) + np.asarray(v).shape[1:],
                       np.asarray(v).dtype)], axis=0))
                for k, v in g.ndata.items()},
+        gdata={k: jnp.asarray(np.asarray(v)) for k, v in g.gdata.items()},
+        num_graphs=g.num_graphs,
         **split_kw,
         **tile_kw,
     )

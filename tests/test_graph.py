@@ -200,3 +200,28 @@ def test_pad_graph_validation():
     with _pytest.raises(ValueError):
         pad_graph_mod = __import__("neuralgraphpde").pad_graph
         pad_graph_mod(g, 2, 10)
+
+
+def test_feature_key_insertion_order_preserved():
+    """The reference concatenates NamedTuple values in user declaration order
+    (reference src/layers.jl:106,316); insertion order must survive both
+    construction and jit pytree round-trips (plain dicts would be re-sorted).
+    """
+    z = np.random.rand(3, 2).astype(np.float32)
+    a = np.random.rand(3, 4).astype(np.float32)
+    g = GnnGraph.from_coo([0, 1], [1, 2], num_nodes=3,
+                          ndata={"z": z, "a": a})
+    assert list(g.ndata) == ["z", "a"]
+
+    # survives a jit boundary (tree_flatten keeps key order in aux data)
+    @jax.jit
+    def roundtrip(g):
+        assert list(g.ndata) == ["z", "a"]
+        return jnp.concatenate(list(g.ndata.values()), axis=-1)
+
+    got = np.asarray(roundtrip(g))
+    assert np.allclose(got, np.concatenate([z, a], axis=-1), atol=0)
+
+    # replace() keeps the override's declared order too
+    g2 = g.replace(ndata={"b": a, "c": z})
+    assert list(g2.ndata) == ["b", "c"]

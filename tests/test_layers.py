@@ -314,3 +314,33 @@ class TestJitAndGrad:
             grads = jax.grad(lambda ps: fwd(x, ps, st)[0])(ps)
             for leaf in jax.tree_util.tree_leaves(grads):
                 assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+class TestFeatureConcatOrder:
+    def test_multi_key_concat_order_matches_declaration(self):
+        """With >=2 extra ndata keys declared in non-alphabetical order, the
+        message concat must follow declaration order (reference NamedTuple
+        semantics, src/layers.jl:106) — verified against a manual NumPy
+        computation through a jitted forward."""
+        rng = np.random.RandomState(0)
+        pos = rng.rand(3, 3).astype(np.float32)
+        z = rng.rand(3, 2).astype(np.float32)
+        a = rng.rand(3, 4).astype(np.float32)
+        # declaration order: x(pos), z, a — NOT alphabetical
+        gh = tiny(ndata={"x": pos, "z": z, "a": a})
+        u = rng.randn(3, 5).astype(np.float32)
+        in_dim = (5 + 2 + 4) * 2 + 3
+        l = ExplicitEdgeConv(Dense(in_dim, 1), initialgraph=gh, aggr="sum")
+        ps, st = setup(RNG, l)
+
+        y = np.asarray(jax.jit(lambda u, ps, st: l(u, ps, st)[0])(
+            jnp.asarray(u), ps, st))
+
+        W = np.asarray(ps["weight"])
+        b = np.asarray(ps["bias"])
+        feats_n = np.concatenate([u, z, a], axis=-1)  # declared order
+        want = np.zeros((3, 1), np.float32)
+        for s, t in zip(S, T):
+            e = np.concatenate([feats_n[t], feats_n[s], pos[s] - pos[t]])
+            want[t] += (e @ W + b).ravel()
+        assert np.allclose(y, want, atol=1e-5), (y, want)

@@ -288,23 +288,54 @@ def test_sharded_mppde_matches_single_device(mesh):
     rng = np.random.default_rng(14)
     nd = {"u": rng.normal(size=(48, 2)).astype(np.float32),
           "x": rng.normal(size=(48, 1)).astype(np.float32)}
-    g = rand_graph(48, 240, seed=14, ndata=nd)
+    # θ in gdata (reference src/layers.jl:397): must ride PartitionedGraph
+    gd = {"theta": rng.normal(size=(1, 3)).astype(np.float32)}
+    g = rand_graph(48, 240, seed=14, ndata=nd, gdata=gd)
     h = rng.normal(size=(48, 4)).astype(np.float32)
-    phi = Dense(4 + 4 + 3, 6, "tanh")
-    psi = Dense(4 + 6, 5)
+    phi = Dense(4 + 4 + 3 + 3, 6, "tanh")
+    psi = Dense(4 + 6 + 3, 5)
 
     l = MPPDEConv(phi, psi, initialgraph=g)
     ps, st = setup(jax.random.PRNGKey(6), l)
     want, _ = l(jnp.asarray(h), ps, st)
 
     pg = partition_graph(g, NDEV, halo=True)
-    ld = ShardedMPPDEConv(phi, psi, mesh=mesh, theta_dim=0,
-                          initialgraph=lambda: pg)
+    assert "theta" in pg.gdata
+    ld = ShardedMPPDEConv(phi, psi, mesh=mesh, initialgraph=lambda: pg)
     std = ld.initialstates(jax.random.PRNGKey(6))
-    std["theta"] = jnp.zeros((1, 0), jnp.float32)
     hp = shard_node_features(pad_node_features(h, pg), pg, mesh)
     got, _ = ld(hp, ps, std)
     assert np.allclose(np.asarray(got)[:48], np.asarray(want), atol=1e-5)
+
+    # θ gets no gradient distributed either (stop_gradient parity with the
+    # reference's @ignore_derivatives)
+    def loss(hp):
+        y, _ = ld(hp, ps, std)
+        return jnp.sum(y[:48] ** 2)
+
+    gx = jax.grad(loss)(hp)
+    assert np.all(np.isfinite(np.asarray(gx)))
+
+
+def test_sharded_propagate_max_min_match_single_device(mesh):
+    from neuralgraphpde.ops import propagate, xj_sub_xi
+    from neuralgraphpde.parallel.halo import sharded_propagate
+
+    rng = np.random.default_rng(21)
+    g = rand_graph(48, 240, seed=21)
+    x = rng.normal(size=(48, 5)).astype(np.float32)
+    pg = partition_graph(g, NDEV, halo=True)
+    xp = shard_node_features(pad_node_features(x, pg), pg, mesh)
+
+    for aggr in ("max", "min"):
+        want = np.asarray(propagate(xj_sub_xi, g, aggr,
+                                    xi=jnp.asarray(x), xj=jnp.asarray(x)))
+        got = np.asarray(sharded_propagate(
+            pg, lambda xi, xj, e: xj - xi, xp, mesh, aggr=aggr))[:48]
+        # rand_graph may leave isolated receivers: ±inf on both sides there
+        finite = np.isfinite(want)
+        assert np.array_equal(finite, np.isfinite(got))
+        assert np.allclose(got[finite], want[finite], atol=1e-6), aggr
 
 
 def test_sharded_gno_matches_single_device(mesh):
