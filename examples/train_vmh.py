@@ -132,9 +132,13 @@ if __name__ == "__main__":
     p.add_argument("--optimizer", default="rprop")
     p.add_argument("--adjoint", default="checkpoint")
     p.add_argument("--log-path", default="")
+    # epochs per device-side execute: long single executes can trip relay
+    # worker watchdogs — 1 keeps each execute seconds-scale
+    p.add_argument("--log-every", type=int, default=10)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     main(Config(num_sims=args.sims, num_points=args.points,
                 epochs=args.epochs, optimizer=args.optimizer,
-                adjoint=args.adjoint, log_path=args.log_path))
+                adjoint=args.adjoint, log_path=args.log_path,
+                log_every=args.log_every))

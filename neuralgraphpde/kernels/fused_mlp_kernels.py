@@ -1,0 +1,187 @@
+"""Fused edge-MLP + segment-reduce (Pallas TPU) — the generic ϕ fusion.
+
+The custom-message layers (ExplicitEdgeConv / VMHConv / MPPDEConv, reference
+src/layers.jl:111,326,416) compute ``m_e = ϕ(feats_e)`` over every edge and
+segment-reduce onto receivers. Done layer-by-layer in XLA, every hidden
+activation of ϕ round-trips HBM (~2·Σ K_l floats per edge — the dominant
+traffic; the matmuls themselves are tiny). This kernel runs the ENTIRE MLP
+inside one Pallas program per edge chunk: the chunk's activations and all of
+ϕ's weights live in VMEM, and the only HBM traffic is the narrow edge-input
+gather plus the node-tile output.
+
+Reduction rides the one-hot-MXU trick of ``segment_kernels``: the chunk
+layout (``TiledCSR`` built over EDGE indices) guarantees a chunk never
+straddles an output node tile, so ``out_tile += onehot(recv_local)ᵀ @ h``
+accumulates across a tile's chunks.
+
+Callers additionally exploit linearity: when ϕ ends in a bias-bearing Dense
+with identity activation, the kernel reduces the PENULTIMATE activations and
+the last layer is applied after the reduce (``Σ(h@W+b) = (Σh)@W + deg·b``) —
+an E/N-fold FLOP saving on that layer (see ``nn.conv._phi_aggregate``).
+
+Backward is a recomputation: the ``custom_vjp`` re-runs the per-edge MLP in
+XLA (materializing activations only in the backward pass) and backprops with
+``jax.vjp`` — the same residual strategy as ``gno_kernels``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .segment_kernels import TiledCSR, _zeros_like_tree
+
+# Activations representable inside the kernel (static names only; callables
+# can't be staged into the Pallas program).
+_ACTS = {
+    "identity": lambda x: x,
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "softplus": jax.nn.softplus,
+    "elu": jax.nn.elu,
+    "gelu": jax.nn.gelu,
+    "swish": jax.nn.swish,
+    "silu": jax.nn.silu,
+}
+
+
+def supported_activation(name) -> bool:
+    return name is None or (isinstance(name, str) and name in _ACTS)
+
+
+def _act(name):
+    return _ACTS["identity" if name is None else name]
+
+
+def _make_kernel(acts: Tuple[Optional[str], ...]):
+    n = len(acts)
+
+    def kernel(chunk_tile_ref, feats_ref, recv_ref, wmask_ref, *rest):
+        w_refs, b_refs, out_ref = rest[:n], rest[n:2 * n], rest[2 * n]
+        c = pl.program_id(0)
+        prev_tile = chunk_tile_ref[jnp.maximum(c, 1) - 1]
+        first = (c == 0) | (chunk_tile_ref[c] != prev_tile)
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # f32 MXU ops must request HIGHEST precision (the default truncates
+        # operands to bf16; see tests/tpu_compiled_checks.py).
+        prec = (jax.lax.Precision.HIGHEST
+                if feats_ref.dtype == jnp.float32 else None)
+        h = feats_ref[0].astype(jnp.float32)  # (TE, Fin)
+        for w_ref, b_ref, act in zip(w_refs, b_refs, acts):
+            h = jnp.dot(h, w_ref[...].astype(jnp.float32),
+                        preferred_element_type=jnp.float32, precision=prec)
+            h = _act(act)(h + b_ref[...])
+
+        tn = out_ref.shape[0]
+        te = recv_ref.shape[1]
+        recv = recv_ref[0]  # (TE, 1)
+        w = wmask_ref[0]  # (TE, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
+        onehot = jnp.where(cols == recv, w, 0.0)
+        out_ref[:] += jax.lax.dot_general(
+            onehot, h, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("acts", "interpret"))
+def _fused_mlp_fwd(acts, tiling: TiledCSR, feats: jax.Array,
+                   ws: Tuple[jax.Array, ...], bs: Tuple[jax.Array, ...],
+                   interpret: bool = False) -> jax.Array:
+    """out (num_tiles*tn, K_out) = Σ_{e→n} w_e · MLP(feats_e), MLP in VMEM.
+
+    ``tiling`` must be the EDGE-index layout (``g.cache['tcsr_edges']``):
+    its ``senders`` are edge ids, so gathering ``feats`` through them aligns
+    chunk slots with receiver/wmask."""
+    C, te = tiling.senders.shape
+    fin = feats.shape[1]
+    n = len(ws)
+
+    eidx = tiling.senders.reshape(-1)
+    feats_c = jnp.take(feats, eidx, axis=0).reshape(C, te, fin)
+    recv3 = tiling.recv_local.reshape(C, te, 1)
+    wmask3 = tiling.wmask.reshape(C, te, 1)
+
+    in_specs = [
+        pl.BlockSpec((1, te, fin), lambda c, ct: (c, 0, 0)),
+        pl.BlockSpec((1, te, 1), lambda c, ct: (c, 0, 0)),
+        pl.BlockSpec((1, te, 1), lambda c, ct: (c, 0, 0)),
+    ]
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda c, ct: (0, 0)))
+    for b in bs:
+        in_specs.append(pl.BlockSpec(b.shape, lambda c, ct: (0, 0)))
+
+    k_out = ws[-1].shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tiling.tn, k_out), lambda c, ct: (ct[c], 0)),
+    )
+    out = pl.pallas_call(
+        _make_kernel(acts),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (tiling.num_tiles * tiling.tn, k_out), jnp.float32),
+        interpret=interpret,
+    )(tiling.chunk_tile, feats_c, recv3, wmask3, *ws, *bs)
+    return out.astype(feats.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_mlp_aggregate(acts: Tuple[Optional[str], ...], feats: jax.Array,
+                        ws: Tuple[jax.Array, ...],
+                        bs: Tuple[jax.Array, ...],
+                        tiling: TiledCSR) -> jax.Array:
+    """Differentiable fused ``out[i] = Σ_{e: recv_e=i} MLP(feats_e)``.
+
+    ``acts``: static per-layer activation names; ``ws``/``bs``: per-layer
+    ``(K_{l-1}, K_l)`` weights and ``(1, K_l)`` biases (pass zeros for
+    bias-free layers). Returns ``(num_tiles·tn, K_out)`` — slice to
+    ``num_nodes``. Backward recomputes the per-edge MLP in XLA.
+    """
+    return _fused_mlp_fwd(acts, tiling, feats, ws, bs)
+
+
+def _fwd(acts, feats, ws, bs, tiling):
+    return _fused_mlp_fwd(acts, tiling, feats, ws, bs), (feats, ws, bs,
+                                                         tiling)
+
+
+def _bwd(acts, res, g_out):
+    feats, ws, bs, tiling = res
+    eidx = tiling.senders.reshape(-1)  # (S,) edge ids per chunk slot
+    recv_glob = (tiling.chunk_tile[:, None] * tiling.tn
+                 + tiling.recv_local).reshape(-1)
+    wm = tiling.wmask.reshape(-1, 1)
+
+    feats_s = jnp.take(feats, eidx, axis=0)  # (S, Fin)
+    gm = jnp.take(g_out, recv_glob, axis=0) * wm  # (S, K_out)
+
+    def edge_mlp(f, ws, bs):
+        h = f
+        for w, b, act in zip(ws, bs, acts):
+            h = _act(act)(jnp.dot(h, w) + b)
+        return h
+
+    _, vjp = jax.vjp(edge_mlp, feats_s, ws, bs)
+    dfeats_s, dws, dbs = vjp(gm.astype(feats_s.dtype))
+    dfeats = jax.ops.segment_sum(dfeats_s, eidx,
+                                 num_segments=feats.shape[0])
+    return (dfeats.astype(feats.dtype), dws, dbs, _zeros_like_tree(tiling))
+
+
+fused_mlp_aggregate.defvjp(_fwd, _bwd)

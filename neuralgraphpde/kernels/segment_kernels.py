@@ -272,6 +272,65 @@ def _spmm_bwd(res, g):
 tiled_segment_spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+# ------------------------------------------------- grouped (slab) execution
+def split_tiled_csr(tcsr: TiledCSR, max_edges_per_group: int):
+    """Split a tiling into contiguous, TILE-ALIGNED chunk ranges of roughly
+    ``max_edges_per_group`` edges each.
+
+    Very large graphs (BASELINE config 5, ~124M edges) cannot afford the
+    gathered edge tensor ``E×F`` in HBM; executing the SpMM per group bounds
+    the peak gather slab to ``max_edges_per_group × F`` while each output
+    tile is still written exactly once (groups never split a tile)."""
+    ct = np.asarray(tcsr.chunk_tile)
+    C = ct.shape[0]
+    per = max(1, max_edges_per_group // tcsr.te)
+    groups = []
+    start = 0
+    while start < C:
+        end = min(start + per, C)
+        while end < C and ct[end] == ct[end - 1]:
+            end += 1
+        tile0, tile1 = int(ct[start]), int(ct[end - 1]) + 1
+        groups.append(TiledCSR(
+            senders=tcsr.senders[start:end],
+            recv_local=tcsr.recv_local[start:end],
+            wmask=tcsr.wmask[start:end],
+            chunk_tile=jnp.asarray(ct[start:end] - tile0),
+            num_tiles=tile1 - tile0, tn=tcsr.tn, te=tcsr.te,
+            num_nodes=min(tcsr.num_nodes - tile0 * tcsr.tn,
+                          (tile1 - tile0) * tcsr.tn),
+        ))
+        start = end
+    return tuple(groups)
+
+
+def _grouped_fwd(groups, x):
+    return jnp.concatenate(
+        [_tiled_segment_spmm_fwd(g, x) for g in groups], axis=0)
+
+
+@jax.custom_vjp
+def tiled_segment_spmm_grouped(x: jax.Array, groups, groups_rev):
+    """Differentiable grouped Pallas SpMM (see ``split_tiled_csr``): one
+    kernel launch per tile-aligned group keeps the gathered slab bounded.
+    Returns ``(Σ_g num_tiles_g · tn, F)`` rows — slice to num_nodes."""
+    return _grouped_fwd(groups, x)
+
+
+def _grouped_vjp_fwd(x, groups, groups_rev):
+    return _grouped_fwd(groups, x), (groups, groups_rev, x.shape[0])
+
+
+def _grouped_vjp_bwd(res, g):
+    groups, groups_rev, n_in = res
+    gx = _grouped_fwd(groups_rev, g)[:n_in]
+    return (gx.astype(g.dtype), _zeros_like_tree(groups),
+            _zeros_like_tree(groups_rev))
+
+
+tiled_segment_spmm_grouped.defvjp(_grouped_vjp_fwd, _grouped_vjp_bwd)
+
+
 # ------------------------------------------------------------ max / min
 _NEG = float(np.finfo(np.float32).min)
 

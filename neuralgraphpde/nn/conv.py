@@ -18,7 +18,8 @@ from ..graph.gnngraph import GnnGraph
 from ..graph.builders import complete_digraph
 from ..graph.transforms import add_self_loops as _add_self_loops
 from ..graph.transforms import degree as _degree
-from ..ops.message_passing import copy_xj, e_mul_xj, propagate, w_mul_xj
+from ..ops.message_passing import (apply_edges, copy_xj, e_mul_xj, propagate,
+                                   w_mul_xj)
 from ..ops.scatter import canonical_reduction
 from ..utils.state import drop, wrapgraph
 from .basic import (Dense, glorot_normal, glorot_uniform, resolve_activation,
@@ -57,6 +58,101 @@ def _values_cat(d, like, count):
     return jnp.concatenate(vals, axis=-1)
 
 
+def _split_dense_chain(phi):
+    """ϕ as a flat Dense stack: ``(layers, chain_named)`` or None.
+
+    ``chain_named`` says whether ϕ's params are nested under
+    ``layer_1..layer_N`` (Chain/MLP) or are a bare Dense's params."""
+    from .basic import MLP, Chain
+
+    if isinstance(phi, MLP):
+        phi = phi._chain
+    if isinstance(phi, Dense):
+        return (phi,), False
+    if isinstance(phi, Chain):
+        layers = phi.layers
+        if all(isinstance(l, Dense) for l in layers):
+            return tuple(layers), True
+    return None
+
+
+def _node_degree(g, dtype):
+    if "in_degree" in g.cache:
+        return g.cache["in_degree"].astype(dtype)
+    return _degree(g, dtype, direction="in")
+
+
+def _try_fused_phi(phi, feats, phi_ps, g, aggr):
+    """Fully-fused ``aggr_{e→i} ϕ(feats_e)`` through the Pallas edge-MLP
+    kernel (kernels/fused_mlp_kernels.py). Engages when the graph carries a
+    precomputed edge tiling, ϕ is a Dense stack with static activations, and
+    ``aggr`` is sum/mean — else returns None and the caller takes the exact
+    XLA path. When ϕ ends in a linear Dense the reduce happens at the
+    penultimate width and the last layer is applied post-reduce
+    (``Σ(h@W+b) = (Σh)@W + deg·b`` — E/N× fewer FLOPs on that layer)."""
+    if "tcsr_edges" not in g.cache:
+        return None
+    from ..ops.spmm import _pallas_available, get_spmm_mode
+
+    mode = get_spmm_mode()
+    if not (mode == "pallas" or (mode == "auto" and _pallas_available())):
+        return None
+    red = canonical_reduction(aggr)
+    if red not in ("sum", "mean"):
+        return None
+    split = _split_dense_chain(phi)
+    if split is None:
+        return None
+    layers, named = split
+    from ..kernels.fused_mlp_kernels import (fused_mlp_aggregate,
+                                             supported_activation)
+
+    if not all(supported_activation(l.activation) for l in layers):
+        return None
+    ps_list = ([phi_ps[f"layer_{i + 1}"] for i in range(len(layers))]
+               if named else [phi_ps])
+
+    post = None
+    if len(layers) >= 2 and layers[-1].activation in (None, "identity"):
+        post = ps_list[-1]
+        layers, ps_list = layers[:-1], ps_list[:-1]
+
+    acts = tuple(l.activation for l in layers)
+    ws = tuple(p["weight"] for p in ps_list)
+    bs = tuple(
+        p["bias"] if "bias" in p else jnp.zeros((1, w.shape[1]), w.dtype)
+        for p, w in zip(ps_list, ws))
+    reduced = fused_mlp_aggregate(acts, feats, ws, bs,
+                                  g.cache["tcsr_edges"])[: g.num_nodes]
+    deg = _node_degree(g, reduced.dtype)
+    if post is None:
+        return (reduced / jnp.maximum(deg, 1.0)[:, None]
+                if red == "mean" else reduced)
+    if red == "mean":
+        m = reduced / jnp.maximum(deg, 1.0)[:, None]
+        m = jnp.dot(m, post["weight"], preferred_element_type=m.dtype)
+        if "bias" in post:
+            m = m + post["bias"]
+        # empty receivers stay 0 (segment-mean convention), not the bias
+        return jnp.where(deg[:, None] > 0, m, 0.0)
+    m = jnp.dot(reduced, post["weight"], preferred_element_type=reduced.dtype)
+    if "bias" in post:
+        m = m + deg[:, None] * post["bias"]
+    return m
+
+
+def _phi_aggregate(phi, feats, phi_ps, phi_st, g, aggr):
+    """``aggr_{e→i} ϕ(feats_e)`` — fused Pallas path when available, else the
+    exact ϕ-then-segment-reduce. Returns ``(m, st_phi)``."""
+    m = _try_fused_phi(phi, feats, phi_ps, g, aggr)
+    if m is not None:
+        return m, phi_st
+    from ..ops.message_passing import aggregate_neighbors
+
+    msgs, phi_st = phi(feats, phi_ps, phi_st)
+    return aggregate_neighbors(g, aggr, msgs), phi_st
+
+
 # --------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True, eq=False)
 class ExplicitEdgeConv(AbstractGNNContainerLayer):
@@ -80,18 +176,17 @@ class ExplicitEdgeConv(AbstractGNNContainerLayer):
         x = wrap_input(x)
         g: GnnGraph = st["graph"]
         xs = {**x, **g.ndata}  # ndata overrides on key collision (Julia merge)
-        st_cell = {"phi": st["phi"]}
 
-        def message(xi, xj, e):
+        def edge_feats(xi, xj, e):
             posi, posj = xi["x"], xj["x"]
             hi, hj = drop(xi, "x"), drop(xj, "x")
-            feats = jnp.concatenate(
+            return jnp.concatenate(
                 [*hi.values(), *hj.values(), posj - posi], axis=-1)
-            m, st_cell["phi"] = self.phi(feats, ps, st_cell["phi"])
-            return m
 
-        y = propagate(message, g, self.aggr, xi=xs, xj=xs)
-        return y, {**st, "phi": st_cell["phi"]}
+        feats = apply_edges(edge_feats, g, xi=xs, xj=xs)
+        y, st_phi = _phi_aggregate(self.phi, feats, ps, st["phi"], g,
+                                   self.aggr)
+        return y, {**st, "phi": st_phi}
 
 
 # --------------------------------------------------------------------------
@@ -239,22 +334,21 @@ class VMHConv(AbstractGNNContainerLayer):
         x = wrap_input(x)
         g: GnnGraph = st["graph"]
         xs = {**x, **g.ndata}
-        st_cell = {"phi": st["phi"]}
 
-        def message(xi, xj, e):
+        def edge_feats(xi, xj, e):
             posi, posj = xi["x"], xj["x"]
             hi, hj = drop(xi, "x"), drop(xj, "x")
-            feats = jnp.concatenate(
+            return jnp.concatenate(
                 [*hi.values(),
                  *(hj[k] - hi[k] for k in hi),
                  posj - posi], axis=-1)
-            m, st_cell["phi"] = self.phi(feats, ps["phi"], st_cell["phi"])
-            return m
 
-        m = propagate(message, g, self.aggr, xi=xs, xj=xs)
+        feats = apply_edges(edge_feats, g, xi=xs, xj=xs)
+        m, st_phi = _phi_aggregate(self.phi, feats, ps["phi"], st["phi"], g,
+                                   self.aggr)
         y, st_gamma = self.gamma(
             jnp.concatenate([*x.values(), m], axis=-1), ps["gamma"], st["gamma"])
-        return y, {**st, "phi": st_cell["phi"], "gamma": st_gamma}
+        return y, {**st, "phi": st_phi, "gamma": st_gamma}
 
 
 # --------------------------------------------------------------------------
@@ -294,24 +388,23 @@ class MPPDEConv(AbstractGNNContainerLayer):
                 "docs/src/index.md:66")
         s, e = g.ndata, g.edata
         theta = jax.lax.stop_gradient(_values_cat(g.gdata, x, G))
-        st_cell = {"phi": st["phi"]}
         theta_e = jnp.repeat(theta, E // G, axis=0)  # (E, Fθ)
         theta_n = jnp.repeat(theta, N // G, axis=0)  # (N, Fθ)
 
-        def message(xi, xj, e_feat):
+        def edge_feats(xi, xj, e_feat):
             di = _values_cat({k: xi[k] for k in s}, x, E)
             dj = _values_cat({k: xj[k] for k in s}, x, E)
             e_cat = _values_cat(e_feat or {}, x, E)
             hi, hj = xi[INPUT_KEY], xj[INPUT_KEY]
-            feats = jnp.concatenate([hi, hj, di - dj, e_cat, theta_e], axis=-1)
-            m, st_cell["phi"] = self.phi(feats, ps["phi"], st_cell["phi"])
-            return m
+            return jnp.concatenate([hi, hj, di - dj, e_cat, theta_e], axis=-1)
 
         xs = {INPUT_KEY: x, **s}
-        m = propagate(message, g, self.aggr, xi=xs, xj=xs, e=e)
+        feats = apply_edges(edge_feats, g, xi=xs, xj=xs, e=e)
+        m, st_phi = _phi_aggregate(self.phi, feats, ps["phi"], st["phi"], g,
+                                   self.aggr)
         y, st_psi = self.psi(
             jnp.concatenate([x, m, theta_n], axis=-1), ps["psi"], st["psi"])
-        return y, {**st, "phi": st_cell["phi"], "psi": st_psi}
+        return y, {**st, "phi": st_phi, "psi": st_psi}
 
 
 # --------------------------------------------------------------------------

@@ -65,6 +65,7 @@ def precompute(
     bsr: Optional[bool] = None,
     bsr_tb: int = 256,
     add_self_loops: bool = False,
+    max_gather_slab_edges: int = 8_000_000,
 ) -> GnnGraph:
     """Attach SpMM acceleration structure to ``g.cache``.
 
@@ -130,14 +131,26 @@ def precompute(
         else:
             s, r = np.asarray(g.senders), np.asarray(g.receivers)
         ew = None if edge_weight is None else np.asarray(edge_weight)
-        cache["tcsr"] = build_tiled_csr(s, r, g.num_nodes, edge_weight=ew,
-                                        **kw)
-        cache["tcsr_rev"] = build_tiled_csr(r, s, g.num_nodes,
-                                            edge_weight=ew, **kw)
-        # Edge-index tiling: lets ANY (num_edges, F) message tensor be
-        # segment-summed through the Pallas kernel (custom-message layers).
-        cache["tcsr_edges"] = build_tiled_csr(
-            np.arange(g.num_edges, dtype=np.int64), r, g.num_nodes, **kw)
+        tcsr = build_tiled_csr(s, r, g.num_nodes, edge_weight=ew, **kw)
+        tcsr_rev = build_tiled_csr(r, s, g.num_nodes, edge_weight=ew, **kw)
+        if g.num_edges > max_gather_slab_edges:
+            # config-5 scale: the gathered edge tensor E×F cannot live in
+            # HBM whole — execute the SpMM per tile-aligned group so the
+            # peak gather slab is bounded (kernels.split_tiled_csr)
+            from ..kernels.segment_kernels import split_tiled_csr
+
+            cache["tcsr_groups"] = split_tiled_csr(
+                tcsr, max_gather_slab_edges)
+            cache["tcsr_groups_rev"] = split_tiled_csr(
+                tcsr_rev, max_gather_slab_edges)
+        else:
+            cache["tcsr"] = tcsr
+            cache["tcsr_rev"] = tcsr_rev
+            # Edge-index tiling: lets ANY (num_edges, F) message tensor be
+            # segment-summed through the Pallas kernel (custom-message
+            # layers)
+            cache["tcsr_edges"] = build_tiled_csr(
+                np.arange(g.num_edges, dtype=np.int64), r, g.num_nodes, **kw)
     if bsr or (bsr is None and not dense and g.num_nodes >= 4 * bsr_tb):
         # Mesh graphs with block-banded structure get the gather-free BSR
         # path; the density gate inside refuses unstructured graphs.
@@ -192,6 +205,12 @@ def spmm_dense(g: GnnGraph, x: jax.Array) -> jax.Array:
 
 
 def spmm_pallas(g: GnnGraph, x: jax.Array) -> jax.Array:
+    if "tcsr_groups" in g.cache:
+        from ..kernels.segment_kernels import tiled_segment_spmm_grouped
+
+        out = tiled_segment_spmm_grouped(x, g.cache["tcsr_groups"],
+                                         g.cache["tcsr_groups_rev"])
+        return out[: g.num_nodes]
     from ..kernels.segment_kernels import tiled_segment_spmm
 
     out = tiled_segment_spmm(x, g.cache["tcsr"], g.cache.get("tcsr_rev"))
@@ -222,8 +241,8 @@ def spmm(g: GnnGraph, x: jax.Array,
         elif (("banded" in g.cache or "bsr" in g.cache) and x.ndim == 2
               and not weighted):
             mode = "bsr"
-        elif ("tcsr" in g.cache and x.ndim == 2 and not weighted
-              and _pallas_available()):
+        elif (("tcsr" in g.cache or "tcsr_groups" in g.cache) and x.ndim == 2
+              and not weighted and _pallas_available()):
             mode = "pallas"
         elif ("tcsr_edges" in g.cache and x.ndim == 2 and weighted
               and _pallas_available()):
@@ -235,7 +254,9 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "pallas":
         if weighted and ("tcsr_edges" not in g.cache or x.ndim != 2):
             mode = "xla"
-        elif not weighted and ("tcsr" not in g.cache or x.ndim != 2):
+        elif not weighted and (("tcsr" not in g.cache
+                                and "tcsr_groups" not in g.cache)
+                               or x.ndim != 2):
             mode = "xla"
     if mode == "bsr" and (("bsr" not in g.cache and "banded" not in g.cache)
                           or x.ndim != 2 or weighted):

@@ -19,18 +19,21 @@ def run_example(args, timeout=150):
     return proc.stdout
 
 
+@pytest.mark.slow
 def test_grand_cora_example():
     out = run_example(["examples/train_grand_cora.py", "--cpu",
                        "--epochs", "5", "--nodes", "200", "--features", "32"])
     assert "epoch" in out
 
 
+@pytest.mark.slow
 def test_gno_darcy_example():
     out = run_example(["examples/train_gno_darcy.py", "--cpu",
                        "--samples", "2", "--n", "8", "--epochs", "2"])
     assert "train mse" in out
 
 
+@pytest.mark.slow
 def test_distributed_example():
     out = run_example(["examples/distributed_grand.py", "--cpu8",
                        "--nodes", "2000", "--degree", "6"])

@@ -86,6 +86,7 @@ def test_fused_gradients_match_xla():
         assert np.allclose(np.asarray(a), np.asarray(bb), atol=1e-3), name
 
 
+@pytest.mark.slow
 def test_gnoconv_fused_matches_unfused():
     """GNOConv(fused=True) on a precomputed graph must agree with the
     standard path (interpret mode), fwd and grad."""

@@ -16,6 +16,7 @@ from neuralgraphpde.models import GNOModel, MPPDESolver, grand_model, vmh_model
 from neuralgraphpde.train import masked_cross_entropy, accuracy, make_train_step
 
 
+@pytest.mark.slow
 def test_grand_learns_synthetic_cora():
     data = synthetic_cora(num_nodes=200, num_edges=1600, num_features=32,
                           num_classes=4, seed=0)
@@ -43,6 +44,7 @@ def test_grand_learns_synthetic_cora():
     assert acc > 0.5
 
 
+@pytest.mark.slow
 def test_vmh_rollout_trains():
     data = convection_diffusion_dataset(num_sims=2, num_points=80, grid_n=32,
                                         num_saves=5, seed=0)

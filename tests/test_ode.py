@@ -122,6 +122,7 @@ def test_adjoint_consistency_backsolve_vs_grid():
     assert np.allclose(np.asarray(ga), np.asarray(gg), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_neural_graph_ode_forward_and_grad():
     """GRAND-style: GCN as ODE RHS over a small graph (BASELINE config 1
     shape), trained end-to-end through the solve."""
@@ -271,6 +272,7 @@ def test_checkpoint_adjoint_matches_backsolve_smooth():
     assert abs(g_chk - g_bs) < 1e-3
 
 
+@pytest.mark.slow
 def test_checkpoint_adjoint_stable_on_diffusion_where_backsolve_diverges():
     """The reference trains through InterpolatingAdjoint on *dissipative*
     graph dynamics (GRAND diffusion, graph_node.md:54-66). The continuous
@@ -359,6 +361,7 @@ def test_checkpoint_adjoint_overflow_poisons_with_nan():
     assert not np.isfinite(float(g))
 
 
+@pytest.mark.slow
 def test_checkpoint_adjoint_through_neural_graph_ode():
     g = GnnGraph.from_coo([0, 1, 2], [1, 2, 0], num_nodes=3)
     layer = GCNConv(2, 2, "tanh", initialgraph=g)

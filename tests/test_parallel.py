@@ -63,6 +63,7 @@ def test_sharded_gcn_matches_single_device(mesh):
     assert np.allclose(np.asarray(got)[:64], np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_gcn_out_lt_in_premultiply(mesh):
     g = rand_graph(64, 512, seed=3)
     gl = add_self_loops(g)
@@ -76,6 +77,7 @@ def test_sharded_gcn_out_lt_in_premultiply(mesh):
     assert np.allclose(np.asarray(got)[:64], np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_grand_train_step(mesh):
     """Full distributed training step: sharded features, replicated params,
     grad through the ODE solve + halo exchanges."""
@@ -128,6 +130,7 @@ def test_sharded_layer_in_state_protocol(mesh):
     assert y.shape[0] == pg.padded_nodes
 
 
+@pytest.mark.slow
 def test_halo_exchange_matches_allgather(mesh):
     """Targeted all_to_all halo must agree with the all_gather variant and
     with single-device spmm, including uneven node counts."""
@@ -144,6 +147,7 @@ def test_halo_exchange_matches_allgather(mesh):
             assert np.allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_halo_gcn_matches_single_device(mesh):
     from neuralgraphpde import GCNConv, setup
 
@@ -199,6 +203,7 @@ def test_sharded_propagate_custom_message(mesh):
     assert np.allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_vmh_matches_single_device(mesh):
     """Edge-partitioned VMHConv must match the single-device layer."""
     from neuralgraphpde import Dense, VMHConv
@@ -253,6 +258,7 @@ def test_tensor_parallel_mlp_matches_replicated():
     assert any("model" in str(s) for s in shardings.values())
 
 
+@pytest.mark.slow
 def test_sharded_spmm_tiled_pallas(mesh):
     """Per-partition Pallas tiled-CSR inside shard_map (interpret mode) must
     match the XLA halo path and single-device spmm."""
@@ -281,6 +287,7 @@ def test_sharded_spmm_tiled_pallas(mesh):
     assert np.allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_mppde_matches_single_device(mesh):
     from neuralgraphpde import Dense, MPPDEConv
     from neuralgraphpde.parallel import ShardedMPPDEConv
@@ -317,6 +324,7 @@ def test_sharded_mppde_matches_single_device(mesh):
     assert np.all(np.isfinite(np.asarray(gx)))
 
 
+@pytest.mark.slow
 def test_sharded_propagate_max_min_match_single_device(mesh):
     from neuralgraphpde.ops import propagate, xj_sub_xi
     from neuralgraphpde.parallel.halo import sharded_propagate
@@ -338,6 +346,7 @@ def test_sharded_propagate_max_min_match_single_device(mesh):
         assert np.allclose(got[finite], want[finite], atol=1e-6), aggr
 
 
+@pytest.mark.slow
 def test_sharded_gno_matches_single_device(mesh):
     from neuralgraphpde import Dense, GNOConv
     from neuralgraphpde.parallel import ShardedGNOConv
@@ -391,6 +400,7 @@ def test_reorder_for_partition_balances_and_preserves(mesh):
     assert np.allclose(got, want[perm], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_overlap_split_metadata_and_parity():
     """Interior/boundary split: metadata is consistent (interior senders
     local, boundary senders index received halo rows) and the overlapped
@@ -430,6 +440,7 @@ def test_overlap_split_metadata_and_parity():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_spmm_banded_kernel():
     """Per-partition banded kernel inside shard_map (interpret mode):
     interior edges on the streaming kernel, boundary through the halo —
@@ -473,6 +484,7 @@ def test_sharded_spmm_banded_kernel():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_gcn_banded_matches_single_device():
     """sharded_gcn_forward on a banded partition (interpret mode) matches
     the single-device GCNConv forward."""
