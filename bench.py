@@ -16,9 +16,16 @@ Paths:
 - ``banded_f32``  — Pallas streaming banded-block kernel, exact f32
                     (HIGHEST-precision MXU passes), zero gather.
 - ``banded_bf16`` — banded kernel with bf16 band/x traffic, f32 accumulation.
+- ``fused_bf16``  — the whole GCN RHS in ONE streaming kernel: degree
+                    normalization baked into the band values, weight matmul +
+                    bias + tanh in the kernel epilogue
+                    (``kernels.banded_gcn_rhs``) — no separate N×F scaling or
+                    matmul round trips.
 
-A random-graph secondary (2^18 nodes, deg 16: xla vs tcsr_bf16) is printed
-as a comment line for regression tracking of the gather path.
+Secondaries printed as comment lines: a random graph (2^18 nodes, deg 16:
+xla vs tcsr_bf16 — gather-path regression tracking) and the VMH RHS (full
+VMHConv forward, hidden 60 / msg 40: XLA layer path vs the fused edge-MLP
+kernel ``kernels.fused_mlp_kernels``).
 
 Robustness (see docs/tpu_design.md): the tunneled TPU backend has
 minute-scale per-process session warm-up, stalls on large device→host
@@ -54,8 +61,10 @@ TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 MESH_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_MESH_TIMEOUT", "1200"))
 # xla first (the baseline the metric needs), then the headline banded paths;
 # tcsr last (sacrificial if the relay starts rejecting compiles)
-JOBS = [("mesh", ("xla", "banded_bf16", "banded_f32", "tcsr_bf16")),
-        ("rand", ("xla", "tcsr_bf16"))]
+JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "fused_bf16",
+                  "banded_bf16", "tcsr_bf16")),
+        ("rand", ("xla", "tcsr_bf16")),
+        ("vmh", ("xla", "fused"))]
 
 
 def _worker(outfile: str, tag: str, paths) -> None:
@@ -79,6 +88,9 @@ def _worker(outfile: str, tag: str, paths) -> None:
     w = jnp.asarray(
         (rng.normal(size=(FEAT, FEAT)) / np.sqrt(FEAT)).astype(np.float32))
 
+    if tag == "vmh":
+        _vmh_worker(emit, paths)
+        return
     if tag == "mesh":
         g = grid_graph_2d(MESH_NX, MESH_NY, diagonals=True)
         s_np, r_np = np.asarray(g.senders), np.asarray(g.receivers)
@@ -130,20 +142,74 @@ def _worker(outfile: str, tag: str, paths) -> None:
             return spmm, bm
         raise ValueError(path)
 
+    def _norm_vals():
+        deg_np = np.bincount(r_np, minlength=n).astype(np.float64)
+        c_np = np.where(deg_np > 0, 1.0 / np.sqrt(np.maximum(deg_np, 1e-30)),
+                        0.0)
+        return (c_np[r_np] * c_np[s_np]).astype(np.float32)
+
+    def make_fused_rhs():
+        """Whole GCN RHS in one kernel: degree-normalized bf16 bands +
+        matmul/tanh epilogue (kernels.banded_gcn_rhs)."""
+        from neuralgraphpde.kernels.banded_kernels import _banded_rhs_fwd
+
+        bm = build_banded(s_np, r_np, n, tb=256, edge_weight=_norm_vals(),
+                          dtype=jnp.bfloat16)
+        if bm is None:
+            return None, None
+
+        def rhs(v, st):
+            return _banded_rhs_fwd(st, v, w, None, act="tanh")
+
+        return rhs, bm
+
+    def make_dia_rhs(dtype):
+        """Whole GCN RHS as ONE stencil pass: normalized DIA values +
+        matmul/tanh epilogue (kernels.dia_gcn_rhs) — the structured-mesh
+        speed-of-light formulation."""
+        from neuralgraphpde.kernels.dia_kernels import _dia_rhs_fwd
+        from neuralgraphpde.ops.dia import build_dia
+
+        dm = build_dia(s_np, r_np, n, edge_weight=_norm_vals(), dtype=dtype)
+        if dm is None or dm.bandwidth > 8192:
+            return None, None
+
+        def rhs(v, st):
+            return _dia_rhs_fwd(st, v, w, None, act="tanh")
+
+        return rhs, dm
+
     def sync(v):
         return float(jnp.sum(v[0, :8]))
 
     for path in paths:
         try:
-            spmm, struct = make_spmm(path)
-            if spmm is None:
-                emit(f"FAIL {tag} {path} NotBanded")
-                continue
+            if path.startswith("dia_fused"):
+                full_rhs, struct = make_dia_rhs(
+                    jnp.bfloat16 if path.endswith("bf16") else np.float32)
+                spmm = None
+                if full_rhs is None:
+                    emit(f"FAIL {tag} {path} NotDia")
+                    continue
+            elif path == "fused_bf16":
+                full_rhs, struct = make_fused_rhs()
+                spmm = None
+                if full_rhs is None:
+                    emit(f"FAIL {tag} {path} NotBanded")
+                    continue
+            else:
+                spmm, struct = make_spmm(path)
+                full_rhs = None
+                if spmm is None:
+                    emit(f"FAIL {tag} {path} NotBanded")
+                    continue
 
             @jax.jit
-            def loop(x0, iters, struct, spmm=spmm):
+            def loop(x0, iters, struct, spmm=spmm, full_rhs=full_rhs):
                 # iters traced -> ONE compiled program per path
                 def rhs(v):
+                    if full_rhs is not None:
+                        return full_rhs(v, struct)
                     h = v * c[:, None]
                     h = spmm(h, struct)
                     h = h * c[:, None]
@@ -168,6 +234,70 @@ def _worker(outfile: str, tag: str, paths) -> None:
             emit(f"FAIL {tag} {path} {type(err).__name__}: {str(err)[:120]}")
 
 
+VMH_POINTS = 1 << 17
+VMH_HIDDEN, VMH_MSG = 60, 40
+
+
+def _vmh_worker(emit, paths) -> None:
+    """VMH RHS (full VMHConv forward, the reference's tutorial config widths)
+    on a Delaunay mesh: XLA layer path vs the fused edge-MLP kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuralgraphpde import VMHConv, precompute, setup, update_graph
+    from neuralgraphpde.graph.builders import delaunay_graph
+    from neuralgraphpde.nn.basic import MLP
+    from neuralgraphpde.ops.spmm import set_spmm_mode
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((VMH_POINTS, 2)).astype(np.float32)
+    g = delaunay_graph(pts, ndata={"x": jnp.asarray(pts)})
+    E = g.num_edges
+    emit(f"INFO vmh delaunay: n={g.num_nodes} E={E} "
+         f"hidden={VMH_HIDDEN} msg={VMH_MSG}")
+
+    layer = VMHConv(MLP((4, VMH_HIDDEN, VMH_HIDDEN, VMH_HIDDEN, VMH_MSG),
+                        "tanh"),
+                    MLP((1 + VMH_MSG, VMH_HIDDEN, VMH_HIDDEN, VMH_HIDDEN, 1),
+                        "tanh"))
+    ps, st0 = setup(jax.random.PRNGKey(0), layer)
+    gp = precompute(g, dense=False, pallas=True)
+    st = update_graph(st0, gp)
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, 1)).astype(np.float32))
+
+    for path in paths:
+        try:
+            set_spmm_mode("xla" if path == "xla" else "pallas")
+
+            @jax.jit
+            def loop(x0, iters, st):
+                def rhs(v):
+                    y, _ = layer(v, ps, st)
+                    return y
+
+                return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
+
+            def sync(v):
+                return float(jnp.sum(v[0, :1]))
+
+            short, long_ = jnp.int32(ITERS_SHORT), jnp.int32(ITERS_LONG)
+            sync(loop(x, short, st))
+            sync(loop(x, long_, st))
+            t0 = time.perf_counter()
+            sync(loop(x, short, st))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sync(loop(x, long_, st))
+            t_long = time.perf_counter() - t0
+            dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
+            emit(f"RESULT vmh {path} {E / dt}")
+        except Exception as err:
+            emit(f"FAIL vmh {path} {type(err).__name__}: {str(err)[:120]}")
+        finally:
+            set_spmm_mode("auto")
+
+
 def main():
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
@@ -190,25 +320,28 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# {tag} worker hit timeout", flush=True)
 
-    mesh, rand = {}, {}
+    buckets = {"mesh": {}, "rand": {}, "vmh": {}}
     with open(outfile) as f:
         for line in f:
             parts = line.split()
             if not parts:
                 continue
-            if parts[0] == "RESULT":
-                (mesh if parts[1] == "mesh" else rand)[parts[2]] = \
-                    float(parts[3])
+            if parts[0] == "RESULT" and parts[1] in buckets:
+                buckets[parts[1]][parts[2]] = float(parts[3])
             elif parts[0] == "FAIL":
                 print(f"# {parts[1]}/{parts[2]} failed: {parts[-1]}",
                       flush=True)
             elif parts[0] == "INFO":
                 print("# " + " ".join(parts[1:]), flush=True)
     os.unlink(outfile)
+    mesh, rand, vmh = buckets["mesh"], buckets["rand"], buckets["vmh"]
 
-    for tag, res in (("mesh", mesh), ("rand", rand)):
+    for tag, res in buckets.items():
         for name, eps in sorted(res.items()):
             print(f"# {tag}/{name}: {eps / 1e6:.1f} M edges/s", flush=True)
+    if "xla" in vmh and "fused" in vmh and vmh["xla"] > 0:
+        print(f"# vmh fused speedup: {vmh['fused'] / vmh['xla']:.2f}x",
+              flush=True)
 
     base_eps = mesh.get("xla", 0.0)
     best_eps = max((v for k, v in mesh.items() if k != "xla"), default=0.0)

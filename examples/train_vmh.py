@@ -25,15 +25,31 @@ class Config:
     hidden: int = 60
     msg_dim: int = 40
     depth: int = 3
-    optimizer: str = "rprop"  # reference uses Rprop (VMH.md:97)
-    lr: float = 1e-3
+    # Reference optimizer config (VMH.md:97): Rprop(1e-6, (0.5, 1.2),
+    # (1e-8, 10.0)) — initial step 1e-6, step_max 10. Rprop is a FULL-BATCH
+    # method (sign-based); the reference trains with batchsize=24 = all sims
+    # (VMH.md:120). Minibatching it stalls (r3 lesson: plateaued at 0.030).
+    optimizer: str = "rprop"
+    lr: float = 1e-6
+    step_max: float = 10.0
     epochs: int = 200
-    batch: int = 4
+    batch: int = 24
+    # gradient-accumulation microbatch: the full-batch gradient is summed
+    # over ceil(batch/accum) device executes — the TPU relay worker dies on
+    # long single executes (r3 lesson), so each execute stays seconds-scale
+    accum: int = 4
     seed: int = 0
+    # Reference solves at reltol=1e-9 (VMH.md:87); 1e-5 keeps trajectory
+    # error far below the 1e-3-scale MSE target at ~4x fewer solver steps
+    # (relay execute-length limit again). abstol matches the reference.
+    rtol: float = 1e-5
+    atol: float = 1e-3
     # 'checkpoint' = the reference's InterpolatingAdjoint analog (stable on
     # the diffusive dynamics); 'backsolve' = classic continuous adjoint.
     adjoint: str = "checkpoint"
-    checkpoint_steps: int = 64
+    # bounds accepted steps over the whole span (hermite replay); overflow
+    # poisons gradients with NaN. rtol=1e-9 needs headroom.
+    checkpoint_steps: int = 256
     log_every: int = 10
     log_path: str = ""
 
@@ -51,7 +67,7 @@ def main(cfg: Config):
     saveat = tuple(np.asarray(data.ts))
     model = vmh_model(1, 2, hidden=cfg.hidden, msg_dim=cfg.msg_dim,
                       depth=cfg.depth, tspan=(saveat[0], saveat[-1]),
-                      saveat=saveat, rtol=1e-3, atol=1e-3,
+                      saveat=saveat, rtol=cfg.rtol, atol=cfg.atol,
                       adjoint=cfg.adjoint,
                       checkpoint_steps=cfg.checkpoint_steps)
     ps, st = setup(jax.random.PRNGKey(cfg.seed), model)
@@ -73,53 +89,52 @@ def main(cfg: Config):
 
         return jnp.mean(jax.vmap(one)(u_batch))
 
-    opt = rprop(cfg.lr) if cfg.optimizer == "rprop" else adam(cfg.lr)
+    opt = (rprop(cfg.lr, step_max=cfg.step_max)
+           if cfg.optimizer == "rprop" else adam(cfg.lr))
     opt_state = opt.init(ps)
     logger = MetricsLogger(path=cfg.log_path or None)
     import time as _time
 
     import optax as _optax
 
-    # The whole epoch loop runs ON DEVICE (lax.scan over epochs, inner scan
-    # over shuffled batches): the TPU relay has seconds-scale per-execute
-    # latency, so host-driven step loops dominate wall clock. One execute
-    # covers ``log_every`` epochs; only the logged scalars cross the link.
-    steps_per_epoch = max(cfg.num_sims // cfg.batch, 1)
+    # Full-batch Rprop (the reference trains with batchsize = all 24 sims,
+    # VMH.md:120) via on-device gradient ACCUMULATION: the relay worker dies
+    # on long single executes, so the epoch gradient is summed over
+    # ceil(batch/accum)-sim microbatch executes (each seconds-scale), then
+    # one apply execute takes the Rprop step. u/st ride as jit ARGUMENTS —
+    # no HLO-literal capture (the r2 lesson).
+    mb = max(min(cfg.accum, cfg.batch), 1)
+    while cfg.num_sims % mb:  # equal microbatches — one compiled shape
+        mb -= 1
+    n_micro = cfg.num_sims // mb
 
     @jax.jit
-    def run_chunk(ps, opt_state, keys, u, st):
-        # bodies close over the TRACED u/st (jit args) — no literal capture
-        def batch_body(carry, idx):
-            ps, opt_state = carry
-            ub = jnp.take(u, idx, axis=0)
-            loss, grads = jax.value_and_grad(loss_fn)(ps, ub, st)
-            updates, opt_state = opt.update(grads, opt_state, ps)
-            ps = _optax.apply_updates(ps, updates)
-            return (ps, opt_state), loss
+    def micro_grad(ps, acc, u_mb, st):
+        loss, grads = jax.value_and_grad(loss_fn)(ps, u_mb, st)
+        acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+        return acc, loss
 
-        def epoch_body(carry, key):
-            perm = jax.random.permutation(key, cfg.num_sims)
-            idxs = perm[: steps_per_epoch * cfg.batch].reshape(
-                steps_per_epoch, cfg.batch)
-            carry, losses = jax.lax.scan(batch_body, carry, idxs)
-            return carry, jnp.mean(losses)
+    @jax.jit
+    def apply_step(ps, opt_state, acc):
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, acc)
+        updates, opt_state = opt.update(grads, opt_state, ps)
+        return _optax.apply_updates(ps, updates), opt_state
 
-        (ps, opt_state), mses = jax.lax.scan(epoch_body, (ps, opt_state),
-                                             keys)
-        return ps, opt_state, mses
-    log_every = cfg.log_every
-    key = jax.random.PRNGKey(cfg.seed + 1)
+    zeros_grads = jax.tree_util.tree_map(jnp.zeros_like, ps)
     t0 = _time.time()
-    epoch = 0
-    while epoch < cfg.epochs:
-        n = min(log_every, cfg.epochs - epoch)
-        key, sub = jax.random.split(key)
-        ps, opt_state, mses = run_chunk(ps, opt_state,
-                                        jax.random.split(sub, n), u, st)
-        epoch += n
-        rec = logger.log(epoch, train_mse=float(mses[-1]))
-        print(f"epoch {epoch:4d} | train mse {rec['train_mse']:.5f} "
-              f"| {_time.time()-t0:.0f}s", flush=True)
+    for epoch in range(1, cfg.epochs + 1):
+        acc = zeros_grads
+        losses = []
+        for i in range(n_micro):
+            u_mb = u[i * mb:(i + 1) * mb]
+            acc, loss = micro_grad(ps, acc, u_mb, st)
+            losses.append(loss)
+        ps, opt_state = apply_step(ps, opt_state, acc)
+        if epoch % cfg.log_every == 0 or epoch == cfg.epochs:
+            mse = float(jnp.mean(jnp.stack(losses)))
+            rec = logger.log(epoch, train_mse=mse)
+            print(f"epoch {epoch:4d} | train mse {rec['train_mse']:.5f} "
+                  f"| {_time.time()-t0:.0f}s", flush=True)
     return logger
 
 

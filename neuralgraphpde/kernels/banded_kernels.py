@@ -166,3 +166,177 @@ def _bwd(res, g):
 
 
 banded_spmm_pallas.defvjp(_fwd, _bwd)
+
+
+# ----------------------------------------------- fused GCN RHS (epilogue)
+# Degree normalization is baked into the band VALUES at precompute time
+# (``ops.precompute(gcn_fused=True)`` stores C·Ã·C, C = D^-1/2), and the GCN
+# epilogue — weight matmul, bias, activation — runs in the kernel at the last
+# band while the accumulator is still VMEM-resident. The full reference RHS
+# ``σ(W(D^-1/2 Ã D^-1/2 x) + b)`` (src/layers.jl:224-238) then costs exactly
+# one streaming pass: x is read once, y is written once, and the two
+# elementwise N×F degree scalings plus the separate matmul read/write that
+# the layer-by-layer formulation pays (4 extra N×F HBM round trips) vanish.
+
+_EPILOGUE_ACTS = {
+    "identity": lambda x: x,
+    "tanh": jnp.tanh,
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "sigmoid": jax.nn.sigmoid,
+}
+
+
+def epilogue_supported(act) -> bool:
+    """Activations whose derivative is recoverable from the OUTPUT (the VJP
+    saves only y): tanh' = 1-y², sigmoid' = y(1-y), relu' = [y>0]."""
+    return act is None or (isinstance(act, str) and act in _EPILOGUE_ACTS)
+
+
+def _act_grad_from_y(act, y):
+    if act in (None, "identity"):
+        return 1.0
+    if act == "tanh":
+        return 1.0 - y * y
+    if act == "sigmoid":
+        return y * (1.0 - y)
+    if act == "relu":
+        return (y > 0).astype(y.dtype)
+    raise ValueError(act)
+
+
+def _make_rhs_kernel(n_bands: int, act, has_w: bool, has_b: bool):
+    act_fn = _EPILOGUE_ACTS["identity" if act is None else act]
+
+    def kernel(offs_ref, bands_ref, x_ref, *rest, acc_ref):
+        del offs_ref
+        i = 0
+        w_ref = rest[i] if has_w else None
+        i += has_w
+        b_ref = rest[i] if has_b else None
+        i += has_b
+        out_ref = rest[i]
+
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        prec = (jax.lax.Precision.HIGHEST
+                if bands_ref.dtype == jnp.float32 else None)
+        acc_ref[:] += jnp.dot(bands_ref[0, 0], x_ref[:],
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+
+        @pl.when(k == n_bands - 1)
+        def _():
+            h = acc_ref[:]
+            if has_w:
+                wprec = (jax.lax.Precision.HIGHEST
+                         if w_ref.dtype == jnp.float32 else None)
+                h = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=wprec)
+            if has_b:
+                h = h + b_ref[:]
+            out_ref[:] = act_fn(h)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("act", "interpret"))
+def _banded_rhs_fwd(bm: BandedMatrix, x: jax.Array,
+                    w: Optional[jax.Array], b: Optional[jax.Array],
+                    act=None, interpret: bool = False) -> jax.Array:
+    nb, tb = bm.nb, bm.tb
+    n_bands = len(bm.offsets)
+    n_pad = nb * tb
+    if x.shape[0] != n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    if bm.bands.dtype != x.dtype:
+        x = x.astype(bm.bands.dtype)
+    F = x.shape[1]
+    if F > TF_MAX:
+        raise ValueError(f"fused RHS needs F <= {TF_MAX}, got {F}")
+    out_w = w.shape[1] if w is not None else F
+    if w is not None and bm.bands.dtype == jnp.bfloat16:
+        w = w.astype(jnp.bfloat16)
+
+    offs = jnp.asarray(bm.offsets, jnp.int32)
+
+    def x_index(i, k, offs_ref):
+        return (jnp.clip(i + offs_ref[k], 0, nb - 1), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tb, tb), lambda i, k, o: (k, i, 0, 0)),
+        pl.BlockSpec((tb, F), x_index),
+    ]
+    args = [bm.bands, x]
+    if w is not None:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i, k, o: (0, 0)))
+        args.append(w)
+    if b is not None:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i, k, o: (0, 0)))
+        args.append(b)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, n_bands),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, out_w), lambda i, k, o: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((tb, F), jnp.float32)],
+    )
+    kernel = _make_rhs_kernel(n_bands, act, w is not None, b is not None)
+
+    def body(offs_ref, bands_ref, x_ref, *rest):
+        kernel(offs_ref, bands_ref, x_ref, *rest[:-1], acc_ref=rest[-1])
+
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_w), jnp.float32),
+        interpret=interpret,
+    )(offs, *args)
+    return out[: bm.num_nodes]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def banded_gcn_rhs(act, x, w, b, bm, bm_rev):
+    """Fused ``σ((Ĉ·x)·W + b)`` where Ĉ = C·Ã·C is the degree-normalized
+    banded matrix (``cache['banded_norm']``): one streaming kernel for the
+    whole GCN ODE RHS. ``w``/``b`` may be None (identity / no bias) — the
+    out<in pre-multiply variant passes ``w=None`` with ``x`` already
+    projected. Returns f32 ``(num_nodes, out)``."""
+    return _banded_rhs_fwd(bm, x, w, b, act=act)
+
+
+def _rhs_vjp_fwd(act, x, w, b, bm, bm_rev):
+    y = _banded_rhs_fwd(bm, x, w, b, act=act)
+    return y, (x, w, b, bm, bm_rev, y)
+
+
+def _rhs_vjp_bwd(act, res, g):
+    x, w, b, bm, bm_rev, y = res
+    from .segment_kernels import _zeros_like_tree
+
+    dz = g * _act_grad_from_y(act, y)  # (N, out) f32
+    db = None if b is None else jnp.sum(dz, axis=0, keepdims=True).astype(
+        b.dtype)
+    if w is not None:
+        # recompute the aggregation for dW (one extra streaming pass)
+        agg = _banded_spmm_fwd(bm, x)  # (N, F) f32
+        dw = jnp.dot(agg.T, dz,
+                     preferred_element_type=jnp.float32).astype(w.dtype)
+        gup = jnp.dot(dz, w.T.astype(dz.dtype),
+                      preferred_element_type=jnp.float32)
+    else:
+        dw = None
+        gup = dz
+    bmt = bm_rev if bm_rev is not None else _transpose_banded(bm)
+    dx = _banded_spmm_fwd(bmt, gup)[: x.shape[0]]
+    return (dx.astype(x.dtype), dw, db, _zeros_like_tree(bm),
+            None if bm_rev is None else _zeros_like_tree(bm_rev))
+
+
+banded_gcn_rhs.defvjp(_rhs_vjp_fwd, _rhs_vjp_bwd)

@@ -1,0 +1,227 @@
+"""Pallas TPU stencil-SpMM kernel for DIA (scalar-diagonal) matrices.
+
+``out[i] = Σ_k values[i, k] · x[i + offsets[k]]`` — the structured-mesh
+aggregation as a sliding-window stencil. Per output tile of ``tn`` rows the
+kernel fetches THREE consecutive x blocks (previous / current / next —
+requires bandwidth ≤ tn), assembles the window in VMEM, and accumulates one
+statically-sliced shifted segment per diagonal with VPU FMAs. Traffic per
+pass: ``x`` ×3, the (padded_nodes × K) value sheet, one output write — on the
+512² 8-neighborhood bench mesh that is ~0.3 GB/pass vs ~1.0 GB for the
+block-banded kernel (whose band blocks are ~200× zero-inflated there) and
+~2 GB for gather+scatter.
+
+Boundary correctness needs no masking: the prev/next block indices are
+clamped, so edge tiles read garbage rows — but every (row, offset) pair
+whose neighbor falls outside [0, num_nodes) has a ZERO stored value (no such
+edge), annihilating the garbage. Same argument as the banded kernel's
+clamped windows.
+
+The GCN epilogue (weight matmul + bias + activation) fuses at the end of
+each tile — with DIA there is no cross-step accumulation (one grid step per
+output tile owns all diagonals), so the epilogue needs no scratch
+accumulator. ``ops.precompute(gcn_fused=True)`` bakes degree normalization
+into the values (``dia_norm``/``dia_norm_rev``), making the whole reference
+RHS ``σ(W(D^-1/2 Ã D^-1/2 x) + b)`` (src/layers.jl:224-238) one streaming
+stencil pass.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.dia import DiaMatrix, transpose_dia
+from .banded_kernels import _EPILOGUE_ACTS, _act_grad_from_y
+
+TF_MAX = 512
+
+
+def _pick_tn(bandwidth: int, padded_nodes: int) -> Optional[int]:
+    """Smallest row-tile (multiple of 512) covering the bandwidth; None when
+    the window would not fit (bandwidth too large for 3-block windows)."""
+    tn = 512
+    while tn < bandwidth:
+        tn *= 2
+    if padded_nodes % tn != 0:
+        # padded_nodes is a multiple of 512 (build_dia tile); larger tn may
+        # not divide it — bail rather than re-pad inside jit
+        return None
+    if tn > 8192:
+        return None
+    return tn
+
+
+def _make_dia_kernel(offsets, tn, act, has_w, has_b):
+    act_fn = None if act is False else _EPILOGUE_ACTS[
+        "identity" if act is None else act]
+
+    def kernel(vals_ref, xp_ref, xm_ref, xn_ref, *rest):
+        i = 0
+        w_ref = rest[i] if has_w else None
+        i += has_w
+        b_ref = rest[i] if has_b else None
+        i += has_b
+        out_ref = rest[i]
+
+        window = jnp.concatenate(
+            [xp_ref[:].astype(jnp.float32), xm_ref[:].astype(jnp.float32),
+             xn_ref[:].astype(jnp.float32)], axis=0)  # (3·tn, tf)
+        vals = vals_ref[:].astype(jnp.float32)  # (tn, K)
+        acc = jnp.zeros((tn, window.shape[1]), jnp.float32)
+        for k, d in enumerate(offsets):
+            seg = jax.lax.slice_in_dim(window, tn + d, 2 * tn + d, axis=0)
+            acc = acc + vals[:, k:k + 1] * seg
+
+        if act_fn is None:  # plain SpMM (no epilogue)
+            out_ref[:] = acc
+            return
+        h = acc
+        if has_w:
+            prec = (jax.lax.Precision.HIGHEST
+                    if w_ref.dtype == jnp.float32 else None)
+            h = jnp.dot(h.astype(w_ref.dtype), w_ref[:],
+                        preferred_element_type=jnp.float32, precision=prec)
+        if has_b:
+            h = h + b_ref[:]
+        out_ref[:] = act_fn(h)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def _dia_rhs_fwd(dm: DiaMatrix, x: jax.Array, w: Optional[jax.Array],
+                 b: Optional[jax.Array], act=False,
+                 interpret: bool = False) -> jax.Array:
+    """act=False: plain SpMM, feature-tiled. act=None/str: fused epilogue
+    (single feature tile, F ≤ TF_MAX)."""
+    n_pad = dm.padded_nodes
+    W = dm.bandwidth
+    tn = _pick_tn(W, n_pad)
+    if tn is None:
+        raise ValueError(f"bandwidth {W} too large for the DIA kernel")
+    nb = n_pad // tn
+    if x.shape[0] != n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    if dm.values.dtype != x.dtype:
+        x = x.astype(dm.values.dtype)
+    F = x.shape[1]
+    K = len(dm.offsets)
+
+    fused = act is not False
+    if fused:
+        if F > TF_MAX:
+            raise ValueError(f"fused DIA RHS needs F <= {TF_MAX}, got {F}")
+        tf = F
+    else:
+        tf = F if F <= TF_MAX else 256
+        pad_f = (-F) % tf
+        if pad_f:
+            x = jnp.pad(x, ((0, 0), (0, pad_f)))
+    Fp = x.shape[1]
+    n_ft = Fp // tf
+    out_w = w.shape[1] if (fused and w is not None) else tf
+    if w is not None and dm.values.dtype == jnp.bfloat16:
+        w = w.astype(jnp.bfloat16)
+
+    in_specs = [
+        pl.BlockSpec((tn, K), lambda f, i: (i, 0)),
+        pl.BlockSpec((tn, tf), lambda f, i: (jnp.maximum(i - 1, 0), f)),
+        pl.BlockSpec((tn, tf), lambda f, i: (i, f)),
+        pl.BlockSpec((tn, tf),
+                     lambda f, i, nb=nb: (jnp.minimum(i + 1, nb - 1), f)),
+    ]
+    args = [dm.values, x, x, x]
+    if fused and w is not None:
+        in_specs.append(pl.BlockSpec(w.shape, lambda f, i: (0, 0)))
+        args.append(w)
+    if fused and b is not None:
+        in_specs.append(pl.BlockSpec(b.shape, lambda f, i: (0, 0)))
+        args.append(b)
+
+    kernel = _make_dia_kernel(dm.offsets, tn, act,
+                              fused and w is not None,
+                              fused and b is not None)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_ft, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tn, out_w), lambda f, i: (i, 0 if fused
+                                                          else f)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, out_w if fused else Fp), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    if not fused and Fp != F:
+        out = out[:, :F]
+    return out[: dm.num_nodes]
+
+
+# ------------------------------------------------------------- plain SpMM
+@jax.custom_vjp
+def dia_spmm_pallas(x: jax.Array, dm: DiaMatrix,
+                    dm_rev: Optional[DiaMatrix] = None) -> jax.Array:
+    """Differentiable stencil SpMM ``A @ x`` on the DIA kernel; ``dm_rev``
+    (= Aᵀ, precomputed) makes the backward a second stencil pass."""
+    return _dia_rhs_fwd(dm, x, None, None, act=False).astype(x.dtype)
+
+
+def _spmm_fwd(x, dm, dm_rev):
+    return (_dia_rhs_fwd(dm, x, None, None, act=False).astype(x.dtype),
+            (dm, dm_rev, x.shape[0]))
+
+
+def _spmm_bwd(res, g):
+    dm, dm_rev, n_in = res
+    from .segment_kernels import _zeros_like_tree
+
+    dmt = dm_rev if dm_rev is not None else transpose_dia(dm)
+    gx = _dia_rhs_fwd(dmt, g, None, None, act=False)[:n_in]
+    return (gx.astype(g.dtype), _zeros_like_tree(dm),
+            None if dm_rev is None else _zeros_like_tree(dm_rev))
+
+
+dia_spmm_pallas.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# --------------------------------------------------------- fused GCN RHS
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def dia_gcn_rhs(act, x, w, b, dm, dm_rev):
+    """Fused ``σ((Ĉ·x)·W + b)`` with Ĉ = C·Ã·C stored as DIA values
+    (``cache['dia_norm']``): the whole GCN ODE RHS in one stencil pass.
+    ``w``/``b`` may be None; see ``banded_kernels.banded_gcn_rhs`` for the
+    out<in pre-multiply convention. Returns f32 ``(num_nodes, out)``."""
+    return _dia_rhs_fwd(dm, x, w, b, act=act)
+
+
+def _rhs_fwd(act, x, w, b, dm, dm_rev):
+    y = _dia_rhs_fwd(dm, x, w, b, act=act)
+    return y, (x, w, b, dm, dm_rev, y)
+
+
+def _rhs_bwd(act, res, g):
+    x, w, b, dm, dm_rev, y = res
+    from .segment_kernels import _zeros_like_tree
+
+    dz = g * _act_grad_from_y(act, y)
+    db = None if b is None else jnp.sum(dz, axis=0, keepdims=True).astype(
+        b.dtype)
+    if w is not None:
+        agg = _dia_rhs_fwd(dm, x, None, None, act=False)
+        dw = jnp.dot(agg.T, dz,
+                     preferred_element_type=jnp.float32).astype(w.dtype)
+        gup = jnp.dot(dz, w.T.astype(dz.dtype),
+                      preferred_element_type=jnp.float32)
+    else:
+        dw = None
+        gup = dz
+    dmt = dm_rev if dm_rev is not None else transpose_dia(dm)
+    dx = _dia_rhs_fwd(dmt, gup, None, None, act=False)[: x.shape[0]]
+    return (dx.astype(x.dtype), dw, db, _zeros_like_tree(dm),
+            None if dm_rev is None else _zeros_like_tree(dm_rev))
+
+
+dia_gcn_rhs.defvjp(_rhs_fwd, _rhs_bwd)

@@ -275,6 +275,41 @@ class GCNConv(AbstractGNNLayer):
                 edge_weight = jnp.ones(
                     (g.num_edges,), edge_weight.dtype).at[pos].set(edge_weight)
 
+        if (edge_weight is None and not self.use_edge_weight
+                and ("banded_norm" in g.cache or "dia_norm" in g.cache)
+                and x.ndim == 2):
+            # fully-fused RHS: degree normalization lives in the stored
+            # matrix values (precompute(gcn_fused=True));
+            # matmul+bias+activation run in the kernel epilogue — one
+            # streaming pass for the whole RHS (DIA stencil kernel on
+            # structured meshes, banded-block otherwise)
+            from ..kernels.banded_kernels import (banded_gcn_rhs,
+                                                  epilogue_supported)
+            from ..ops.spmm import _pallas_available, get_spmm_mode
+
+            mode = get_spmm_mode()
+            if (epilogue_supported(self.activation)
+                    and x.shape[1] <= 512
+                    and (mode in ("pallas", "bsr")
+                         or (mode == "auto" and _pallas_available()))):
+                if "dia_norm" in g.cache:
+                    from ..kernels.dia_kernels import dia_gcn_rhs as rhs_fn
+
+                    nrm = g.cache["dia_norm"]
+                    nrm_rev = g.cache.get("dia_norm_rev")
+                else:
+                    rhs_fn = banded_gcn_rhs
+                    nrm = g.cache["banded_norm"]
+                    nrm_rev = g.cache.get("banded_norm_rev")
+                w = ps["weight"]
+                b = ps.get("bias") if self.use_bias else None
+                if self.out_chs < self.in_chs:
+                    xw = jnp.dot(x, w, preferred_element_type=x.dtype)
+                    y = rhs_fn(self.activation, xw, None, b, nrm, nrm_rev)
+                else:
+                    y = rhs_fn(self.activation, x, w, b, nrm, nrm_rev)
+                return y.astype(x.dtype), st
+
         if self.out_chs < self.in_chs:
             x = jnp.dot(x, ps["weight"], preferred_element_type=x.dtype)
 

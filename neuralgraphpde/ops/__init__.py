@@ -30,6 +30,7 @@ from .message_passing import (
 from .spmm import spmm, precompute, set_spmm_mode, get_spmm_mode
 from .bsr import (BsrMatrix, BandedMatrix, build_bsr, bsr_spmm,
                   build_banded, banded_spmm, precompute_bsr)
+from .dia import DiaMatrix, build_dia, dia_spmm, transpose_dia
 
 __all__ = [
     "gather", "segment_sum", "segment_mean", "segment_max", "segment_min",
@@ -38,6 +39,7 @@ __all__ = [
     "xi_sub_xj", "xj_sub_xi", "e_mul_xj", "w_mul_xj", "reduce_nodes",
     "reduce_edges", "broadcast_nodes", "broadcast_edges", "softmax_nodes",
     "softmax_edges", "softmax_edge_neighbors", "spmm", "precompute",
-    "set_spmm_mode", "get_spmm_mode", "BsrMatrix", "BandedMatrix", "build_bsr", "bsr_spmm", "build_banded",
-    "banded_spmm", "precompute_bsr",
+    "set_spmm_mode", "get_spmm_mode", "BsrMatrix", "BandedMatrix",
+    "build_bsr", "bsr_spmm", "build_banded", "banded_spmm", "precompute_bsr",
+    "DiaMatrix", "build_dia", "dia_spmm", "transpose_dia",
 ]

@@ -226,6 +226,7 @@ def precompute_bsr(
     edge_weight=None,
     max_density: float = 0.25,
     dtype=np.float32,
+    dia: bool = True,
 ) -> GnnGraph:
     """Attach block storage to ``g.cache`` when the graph is block-sparse
     enough: diagonal-banded (``cache['banded']``, preferred — no product
@@ -236,6 +237,16 @@ def precompute_bsr(
         s, r = g.host_coo
     else:
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    from .dia import build_dia, transpose_dia
+
+    dm = (build_dia(s, r, g.num_nodes, edge_weight=edge_weight, dtype=dtype)
+          if dia else None)
+    if dm is not None and dm.bandwidth <= 8192:
+        # scalar-diagonal structure (regular grids / stencil meshes): one
+        # value per edge, stencil kernel — strictly dominates the banded
+        # block path when it applies (kernels/dia_kernels.py)
+        return g.copy(cache={**g.cache, "dia": dm,
+                             "dia_rev": transpose_dia(dm)})
     banded = build_banded(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,
                           dtype=dtype)
     if banded is not None:

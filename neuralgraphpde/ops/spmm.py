@@ -66,6 +66,8 @@ def precompute(
     bsr_tb: int = 256,
     add_self_loops: bool = False,
     max_gather_slab_edges: int = 8_000_000,
+    gcn_fused: Optional[bool] = None,
+    dia: bool = True,
 ) -> GnnGraph:
     """Attach SpMM acceleration structure to ``g.cache``.
 
@@ -157,7 +159,43 @@ def precompute(
         from .bsr import precompute_bsr
 
         g2 = precompute_bsr(g.copy(cache=cache), tb=bsr_tb,
-                            edge_weight=edge_weight)
+                            edge_weight=edge_weight, dia=dia)
+        if (gcn_fused or (gcn_fused is None and add_self_loops)) \
+                and ("banded" in g2.cache or "dia" in g2.cache) \
+                and edge_weight is None:
+            # Degree-NORMALIZED structure (C·Ã·C) for the fused GCN RHS
+            # kernels (kernels.dia_gcn_rhs / banded_gcn_rhs): the two N×F
+            # degree scalings become stored values, paid once at build time
+            # instead of per solver stage. Built by default on self-looped
+            # precomputes (the GCNConv pattern); disable with
+            # gcn_fused=False.
+            d = np.asarray(cache["in_degree"], np.float64)
+            c = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-30)), 0.0)
+            if g2.host_coo is not None:
+                s2, r2 = g2.host_coo
+            else:
+                s2, r2 = np.asarray(g2.senders), np.asarray(g2.receivers)
+            vals = (c[r2] * c[s2]).astype(np.float32)
+            cache2 = dict(g2.cache)
+            if "dia" in g2.cache:
+                from .dia import build_dia, transpose_dia
+
+                dt = g2.cache["dia"].values.dtype
+                dn = build_dia(s2, r2, g2.num_nodes, edge_weight=vals,
+                               dtype=dt)
+                cache2["dia_norm"] = dn
+                cache2["dia_norm_rev"] = transpose_dia(dn)
+            else:
+                from .bsr import build_banded
+
+                dt = g2.cache["banded"].bands.dtype
+                cache2["banded_norm"] = build_banded(
+                    s2, r2, g2.num_nodes, tb=bsr_tb, edge_weight=vals,
+                    dtype=dt)
+                cache2["banded_norm_rev"] = build_banded(
+                    r2, s2, g2.num_nodes, tb=bsr_tb, edge_weight=vals,
+                    dtype=dt)
+            g2 = g2.copy(cache=cache2)
         return g2
     return g.copy(cache=cache)
 
@@ -238,8 +276,8 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "auto":
         if "adj" in g.cache and not weighted:
             mode = "dense"
-        elif (("banded" in g.cache or "bsr" in g.cache) and x.ndim == 2
-              and not weighted):
+        elif (("dia" in g.cache or "banded" in g.cache or "bsr" in g.cache)
+              and x.ndim == 2 and not weighted):
             mode = "bsr"
         elif (("tcsr" in g.cache or "tcsr_groups" in g.cache) and x.ndim == 2
               and not weighted and _pallas_available()):
@@ -258,7 +296,8 @@ def spmm(g: GnnGraph, x: jax.Array,
                                 and "tcsr_groups" not in g.cache)
                                or x.ndim != 2):
             mode = "xla"
-    if mode == "bsr" and (("bsr" not in g.cache and "banded" not in g.cache)
+    if mode == "bsr" and (("bsr" not in g.cache and "banded" not in g.cache
+                           and "dia" not in g.cache)
                           or x.ndim != 2 or weighted):
         # runtime weights can't ride the precomputed blocks; prefer the
         # weighted Pallas path over raw scatter when the tiling exists
@@ -269,6 +308,15 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "bsr":
         from .bsr import banded_spmm, bsr_spmm
 
+        if "dia" in g.cache:
+            if _pallas_available():
+                from ..kernels.dia_kernels import dia_spmm_pallas
+
+                return dia_spmm_pallas(x, g.cache["dia"],
+                                       g.cache.get("dia_rev"))
+            from .dia import dia_spmm
+
+            return dia_spmm(g.cache["dia"], x)
         if "banded" in g.cache:
             if _pallas_available():
                 from ..kernels.banded_kernels import banded_spmm_pallas

@@ -250,10 +250,12 @@ def sharded_grand_model(
     atol: float = 1e-3,
     initialgraph: Optional[Callable] = None,
     rhs_depth: int = 2,
+    steps_per_interval: int = 16,
 ):
     """Distributed GRAND: encoder GCN → GCN-chain neural ODE → decoder, all
     row-sharded over the mesh's graph axis (params replicated — DP/graph
-    hybrid per SURVEY §2.3 plan)."""
+    hybrid per SURVEY §2.3 plan). ``steps_per_interval`` applies to
+    fixed-grid solvers (euler/midpoint/heun/rk4)."""
     from ..nn.basic import Chain
 
     rhs = Chain(tuple(
@@ -261,7 +263,8 @@ def sharded_grand_model(
                        initialgraph=initialgraph)
         for _ in range(rhs_depth)))
     node = NeuralGraphODE(rhs, tspan=tspan, solver=solver, rtol=rtol,
-                          atol=atol, output="last")
+                          atol=atol, output="last",
+                          steps_per_interval=steps_per_interval)
     return Chain((
         ShardedGCNConv(in_dims, hidden_dims, "relu", mesh=mesh,
                        initialgraph=initialgraph),

@@ -40,11 +40,13 @@ def test_bsr_weighted():
 def test_bsr_density_gate_and_dispatch():
     from neuralgraphpde.ops import spmm
 
-    # spatial mesh: low block density -> cached and dispatched
+    # spatial mesh: the grid is scalar-diagonal -> DIA wins outright
     g = grid_graph_2d(32, 32)
     gp = precompute_bsr(g, tb=64)
-    # banded storage wins for the grid; packed BSR is the fallback
-    assert "banded" in gp.cache or "bsr" in gp.cache
+    assert "dia" in gp.cache and "dia_rev" in gp.cache
+    # with DIA disabled, banded storage wins; packed BSR is the fallback
+    gb = precompute_bsr(g, tb=64, dia=False)
+    assert "banded" in gb.cache or "bsr" in gb.cache
     x = jnp.asarray(np.random.default_rng(2).normal(size=(1024, 8))
                     .astype(np.float32))
     want = np.asarray(spmm_xla(g, x))
@@ -54,7 +56,7 @@ def test_bsr_density_gate_and_dispatch():
     # random graph: dense blocks -> gate refuses
     gr = rand_graph(256, 8000, seed=3)
     gr2 = precompute_bsr(gr, tb=32)
-    assert "bsr" not in gr2.cache and "banded" not in gr2.cache
+    assert not ({"bsr", "banded", "dia"} & set(gr2.cache))
 
 
 def test_bsr_gradient():

@@ -1,0 +1,121 @@
+"""DIA (scalar-diagonal / stencil) SpMM: build, transpose, XLA and Pallas
+paths, fused GCN RHS — vs the scatter reference (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from neuralgraphpde import (GCNConv, GnnGraph, add_self_loops, precompute,
+                            rand_graph, setup, update_graph)
+from neuralgraphpde.graph.builders import grid_graph_2d
+from neuralgraphpde.kernels.dia_kernels import _dia_rhs_fwd, dia_spmm_pallas
+from neuralgraphpde.ops.dia import build_dia, dia_spmm, transpose_dia
+from neuralgraphpde.ops.spmm import set_spmm_mode, spmm_xla
+
+
+def _grid(nx=20, ny=12):
+    g = grid_graph_2d(nx, ny, diagonals=True)
+    return g, np.asarray(g.senders), np.asarray(g.receivers)
+
+
+def test_build_and_xla_spmm_matches_scatter():
+    g, s, r = _grid()
+    dm = build_dia(s, r, g.num_nodes)
+    # 8-neighborhood grid without self-loops: 8 scalar offsets
+    assert dm is not None and len(dm.offsets) == 8
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(g.num_nodes, 7)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(dia_spmm(dm, x)),
+                               np.asarray(spmm_xla(g, x)), atol=1e-4)
+
+
+def test_weighted_build():
+    g, s, r = _grid()
+    w = np.random.default_rng(1).random(g.num_edges).astype(np.float32)
+    dm = build_dia(s, r, g.num_nodes, edge_weight=w)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .normal(size=(g.num_nodes, 3)).astype(np.float32))
+    want = spmm_xla(g, x, edge_weight=jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(dia_spmm(dm, x)),
+                               np.asarray(want), atol=1e-4)
+
+
+def test_transpose_matches_reverse_build():
+    g, s, r = _grid()
+    w = np.random.default_rng(2).random(g.num_edges).astype(np.float32)
+    dm = build_dia(s, r, g.num_nodes, edge_weight=w)
+    dm_rev = build_dia(r, s, g.num_nodes, edge_weight=w)
+    dm_t = transpose_dia(dm)
+    assert dm_t.offsets == dm_rev.offsets
+    np.testing.assert_allclose(np.asarray(dm_t.values),
+                               np.asarray(dm_rev.values), atol=1e-6)
+
+
+def test_unstructured_graph_gates_out():
+    g = rand_graph(200, 1500, seed=3)
+    assert build_dia(np.asarray(g.senders), np.asarray(g.receivers),
+                     g.num_nodes) is None
+
+
+def test_pallas_kernel_matches_xla():
+    g, s, r = _grid(40, 30)
+    dm = build_dia(s, r, g.num_nodes)
+    x = jnp.asarray(np.random.default_rng(4)
+                    .normal(size=(g.num_nodes, 16)).astype(np.float32))
+    want = np.asarray(dia_spmm(dm, x))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_dia_rhs_fwd(dm, x, None, None, act=False,
+                                      interpret=True))[: g.num_nodes]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_grad_matches_xla():
+    g, s, r = _grid(16, 8)
+    dm = build_dia(s, r, g.num_nodes)
+    dm_rev = transpose_dia(dm)
+    x = jnp.asarray(np.random.default_rng(5)
+                    .normal(size=(g.num_nodes, 8)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(lambda x: jnp.sum(
+            dia_spmm_pallas(x, dm, dm_rev) ** 2))(x)
+    gx = jax.grad(lambda x: jnp.sum(spmm_xla(g, x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3)
+
+
+@pytest.mark.parametrize("act", ["tanh", None])
+def test_gcnconv_dia_fused_matches_xla(act):
+    g = add_self_loops(grid_graph_2d(16, 12, diagonals=True))
+    gp = precompute(g, add_self_loops=False, dense=False, pallas=False,
+                    bsr=True, gcn_fused=True)
+    assert "dia_norm" in gp.cache, "normalized DIA not built"
+    layer = GCNConv(12, 12, act, add_self_loops=False)
+    ps, st = setup(jax.random.PRNGKey(0), layer)
+    st = update_graph(st, gp)
+    x = jnp.asarray(np.random.default_rng(6)
+                    .normal(size=(g.num_nodes, 12)).astype(np.float32))
+
+    def loss(ps, x):
+        y, _ = layer(x, ps, st)
+        return jnp.sum(y ** 2), y
+
+    set_spmm_mode("xla")
+    try:
+        (lx, yx), gx = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(ps, x)
+    finally:
+        set_spmm_mode("auto")
+    set_spmm_mode("bsr")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            (lb, yb), gb = jax.value_and_grad(loss, argnums=(0, 1),
+                                              has_aux=True)(ps, x)
+    finally:
+        set_spmm_mode("auto")
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(yx), atol=2e-4,
+                               rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3,
+                                   rtol=2e-3)
