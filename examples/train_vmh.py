@@ -48,8 +48,9 @@ class Config:
     # the diffusive dynamics); 'backsolve' = classic continuous adjoint.
     adjoint: str = "checkpoint"
     # bounds accepted steps over the whole span (hermite replay); overflow
-    # poisons gradients with NaN. rtol=1e-9 needs headroom.
-    checkpoint_steps: int = 256
+    # poisons gradients with NaN. NB: 256 makes the relay compile hang
+    # (r3 bisect); 128 compiles and covers rtol=1e-5 stepping.
+    checkpoint_steps: int = 128
     log_every: int = 10
     log_path: str = ""
 
@@ -150,10 +151,14 @@ if __name__ == "__main__":
     # epochs per device-side execute: long single executes can trip relay
     # worker watchdogs — 1 keeps each execute seconds-scale
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--ckpt-steps", type=int, default=128)
+    p.add_argument("--rtol", type=float, default=1e-5)
+    p.add_argument("--accum", type=int, default=4)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     main(Config(num_sims=args.sims, num_points=args.points,
                 epochs=args.epochs, optimizer=args.optimizer,
                 adjoint=args.adjoint, log_path=args.log_path,
-                log_every=args.log_every))
+                log_every=args.log_every, checkpoint_steps=args.ckpt_steps,
+                rtol=args.rtol, accum=args.accum))

@@ -10,7 +10,6 @@ scope (fixed mesh), as documented in SURVEY §5.3.
 """
 from __future__ import annotations
 
-import datetime
 from typing import Optional
 
 import jax
@@ -36,8 +35,7 @@ def initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
-        initialization_timeout=datetime.timedelta(
-            seconds=heartbeat_timeout_s),
+        initialization_timeout=heartbeat_timeout_s,
     )
 
 
@@ -51,10 +49,12 @@ def is_coordinator() -> bool:
 
 
 def barrier(name: str = "ngpde_barrier") -> None:
-    """Cross-host sync point (uses a tiny psum under the hood)."""
+    """Cross-host sync point — ``multihost_utils.sync_global_devices`` (the
+    canonical JAX barrier; a named all-reduce over every device in the
+    job). No-op single-process. Exercised for real by the two-process CPU
+    test in tests/test_multihost.py."""
     if jax.process_count() == 1:
         return
-    x = jax.numpy.ones(())
-    jax.block_until_ready(
-        jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(
-            x[None].repeat(jax.local_device_count(), 0)))
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

@@ -3,6 +3,7 @@ reference, gradients vs XLA formulation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neuralgraphpde.kernels.gno_kernels import (
     _fused_gno_fwd, fused_gno_aggregate, pack_last_layer,
