@@ -468,11 +468,12 @@ class GNOConv(AbstractGNNContainerLayer):
     init_weight: Callable = glorot_uniform
     init_bias: Callable = zeros_init
     # Use the fused Pallas kernel (kernels/gno_kernels.py) when the graph
-    # carries a precomputed edge tiling (ops.precompute(g, pallas=True)):
-    # ϕ's last linear layer, the per-edge matvec, and the receiver
-    # segment-sum run in one kernel — the E×(in·out) kernel tensor never
-    # touches HBM. Requires ϕ to be an MLP/Chain ending in a plain Dense.
-    fused: bool = False
+    # carries a precomputed edge tiling (ops.precompute(g, pallas=True)) and
+    # the backend runs Pallas: ϕ's last linear layer, the per-edge matvec,
+    # and the receiver segment-sum run in one kernel — the E×(in·out) kernel
+    # tensor never touches HBM. Requires ϕ to be an MLP/Chain ending in a
+    # plain Dense; silently falls back otherwise.
+    fused: bool = True
     layer_names: Tuple[str, ...] = ("linear", "phi")
 
     def __post_init__(self):
@@ -554,7 +555,12 @@ class GNOConv(AbstractGNNContainerLayer):
 
         fused_out = None
         if self.fused and "tcsr_edges" in g.cache:
-            fused_out = self._fused_forward(x, ps, st, g)
+            from ..ops.spmm import _pallas_available, get_spmm_mode
+
+            mode = get_spmm_mode()
+            if (mode == "pallas"
+                    or (mode == "auto" and _pallas_available())):
+                fused_out = self._fused_forward(x, ps, st, g)
         if fused_out is not None:
             m, st_phi = fused_out
         else:

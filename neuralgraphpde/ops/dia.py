@@ -94,27 +94,29 @@ def build_dia(
 
 
 def transpose_dia(dm: DiaMatrix) -> DiaMatrix:
-    """Aᵀ: offset −d holds values shifted by d (host/jnp, build-time only)."""
+    """Aᵀ: offset −d holds values shifted by d. Pure jnp (static shifts), so
+    it works both at build time and traced inside a VJP when no prebuilt
+    reverse exists."""
     K = len(dm.offsets)
     n_pad = dm.padded_nodes
-    vals = np.asarray(dm.values, np.float32)
-    new = np.zeros_like(vals)
     offs = [-d for d in dm.offsets]
     order = sorted(range(K), key=lambda i: offs[i])
-    out_offs = []
-    for col, i in enumerate(order):
+    cols = []
+    for i in order:
         d = dm.offsets[i]
         # Aᵀ[j, j−d] = A[j−d, j]  →  valuesᵀ[j, col] = values[j − d, k_of(d)]
-        src = vals[:, i]
+        src = dm.values[:, i]
         if d > 0:
-            new[d:, col] = src[: n_pad - d]
+            col = jnp.concatenate(
+                [jnp.zeros((d,), src.dtype), src[: n_pad - d]])
         elif d < 0:
-            new[:d, col] = src[-d:]
+            col = jnp.concatenate([src[-d:], jnp.zeros((-d,), src.dtype)])
         else:
-            new[:, col] = src
-        out_offs.append(-d)
-    return DiaMatrix(values=jnp.asarray(new).astype(dm.values.dtype),
-                     offsets=tuple(out_offs), num_nodes=dm.num_nodes)
+            col = src
+        cols.append(col)
+    return DiaMatrix(values=jnp.stack(cols, axis=1),
+                     offsets=tuple(offs[i] for i in order),
+                     num_nodes=dm.num_nodes)
 
 
 def dia_spmm(dm: DiaMatrix, x: jax.Array) -> jax.Array:

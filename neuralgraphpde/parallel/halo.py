@@ -97,6 +97,38 @@ def _local_spmm_block_tiled(x_block, send_idx_p, ts, tr, tw, tc,
     return tiled_segment_spmm(table, tcsr, None)[:npp]
 
 
+def _local_spmm_block_dia_overlap(x_block, vals, vals_rev, s_bnd, r_bnd,
+                                  m_bnd, send_idx_p, npp, offsets,
+                                  axis_name=GRAPH_AXIS):
+    """Interior aggregation on the DIA stencil kernel while the all_to_all
+    is in flight; boundary edges consume the received halo rows
+    (partition_graph(dia=True) on strip-partitioned stencil meshes — the
+    fastest multi-chip path)."""
+    from ..kernels.dia_kernels import dia_spmm_pallas
+    from ..ops.dia import DiaMatrix, dia_spmm
+    from ..ops.spmm import _pallas_available, get_spmm_mode
+
+    send_rows = jnp.take(x_block, send_idx_p[0], axis=0)
+    halo_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
+                                   concat_axis=0, tiled=False)
+    dm = DiaMatrix(values=vals[0], offsets=offsets, num_nodes=npp)
+    dm_rev = None
+    if vals_rev is not None:
+        dm_rev = DiaMatrix(values=vals_rev[0], offsets=offsets,
+                           num_nodes=npp)
+    mode = get_spmm_mode()
+    if mode in ("pallas", "bsr") or (mode == "auto" and _pallas_available()):
+        out = dia_spmm_pallas(x_block, dm, dm_rev)
+    else:
+        # XLA stencil (shifted slices) — same DIA structure, no Pallas;
+        # keeps CPU/virtual-mesh runs on the partitioned-DIA path
+        out = dia_spmm(dm, x_block)
+    tbl = halo_rows.reshape(-1, x_block.shape[-1])
+    xj_b = jnp.take(tbl, s_bnd[0], axis=0) * m_bnd[0]
+    return out + jax.ops.segment_sum(
+        xj_b, r_bnd[0], num_segments=npp, indices_are_sorted=True)
+
+
 def _local_spmm_block_banded_overlap(x_block, band, band_rev, s_bnd, r_bnd,
                                      m_bnd, send_idx_p, npp, offsets, tb,
                                      axis_name=GRAPH_AXIS):
@@ -139,6 +171,24 @@ def sharded_spmm(
     the Pallas streaming banded kernel.
     """
     npp = pg.nodes_per_part
+
+    if pg.dia_values is not None:
+        offsets = pg.dia_offsets
+
+        def body(x_block, vals, vals_rev, s_bnd, r_bnd, m_bnd, send_idx):
+            return _local_spmm_block_dia_overlap(
+                x_block, vals, vals_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
+                offsets, axis_name)
+
+        dia_spec = P(axis_name, None, None)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name, None), dia_spec, dia_spec,
+                      P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), P(axis_name, None, None)),
+            out_specs=P(axis_name, None), check_vma=False)
+        return f(x, pg.dia_values, pg.dia_values_rev, pg.senders_bnd,
+                 pg.recv_bnd, pg.mask_bnd, pg.send_idx)
 
     if pg.band_data is not None:
         offsets, tb = pg.band_offsets, pg.band_tb
@@ -248,6 +298,7 @@ def sharded_gcn_forward(
     """
     in_dims, out_dims = weight.shape
     npp = pg.nodes_per_part
+    use_dia = pg.dia_values is not None
     use_banded = pg.band_data is not None
     use_overlap = pg.senders_int is not None
     use_halo = pg.senders_halo is not None
@@ -267,6 +318,29 @@ def sharded_gcn_forward(
         if bias is not None:
             agg = agg + bias
         return activation(agg) * nmask
+
+    if use_dia:
+        offsets = pg.dia_offsets
+
+        def body(x_block, deg, nmask, vals, vals_rev, s_bnd, r_bnd, m_bnd,
+                 send_idx):
+            h, c = pre(x_block, deg[0])
+            agg = _local_spmm_block_dia_overlap(
+                h, vals, vals_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
+                offsets, axis_name)
+            return post(agg, c, nmask[0])
+
+        dia_spec = P(axis_name, None, None)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), dia_spec, dia_spec,
+                      P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), P(axis_name, None, None)),
+            out_specs=P(axis_name, None), check_vma=False)
+        return f(x, pg.in_degree, pg.node_mask, pg.dia_values,
+                 pg.dia_values_rev, pg.senders_bnd, pg.recv_bnd, pg.mask_bnd,
+                 pg.send_idx)
 
     if use_banded:
         offsets, tb = pg.band_offsets, pg.band_tb

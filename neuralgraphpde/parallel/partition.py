@@ -71,6 +71,14 @@ class PartitionedGraph:
     band_data_rev: Optional[jax.Array] = None  # A^T bands (for VJPs)
     band_offsets: tuple = ()
     band_tb: int = 0
+    # --- per-partition DIA (scalar-diagonal) storage of the INTERIOR edges
+    # (preferred over bands when the local structure is a stencil — strip
+    # partitions of regular grids preserve the diagonal offsets). Offsets
+    # are a symmetric union across partitions, so the reverse values share
+    # the same static tuple.
+    dia_values: Optional[jax.Array] = None  # (P, npp_pad, K)
+    dia_values_rev: Optional[jax.Array] = None  # Aᵀ values
+    dia_offsets: tuple = ()
     # per-partition edge features (P, E_max, F), permuted like the edges
     edata: FeatureDict = dataclasses.field(default_factory=dict)
     # node features (padded_nodes, F) — shard row-wise like the inputs
@@ -99,12 +107,14 @@ class PartitionedGraph:
                     self.senders_halo, self.senders_int, self.recv_int,
                     self.mask_int, self.senders_bnd, self.recv_bnd,
                     self.mask_bnd, self.band_data, self.band_data_rev,
+                    self.dia_values, self.dia_values_rev,
                     self.edata, self.ndata, self.gdata,
                     self.tile_senders, self.tile_recv, self.tile_wmask,
                     self.tile_chunk)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
                self.num_edges, self.halo_size, self.tile_tn, self.tile_te,
-               self.band_offsets, self.band_tb, self.num_graphs)
+               self.band_offsets, self.band_tb, self.dia_offsets,
+               self.num_graphs)
         return children, aux
 
     @classmethod
@@ -112,13 +122,14 @@ class PartitionedGraph:
         (senders_global, receivers_local, edge_mask, in_degree, node_mask,
          send_idx, senders_halo, senders_int, recv_int, mask_int,
          senders_bnd, recv_bnd, mask_bnd, band_data, band_data_rev,
-         edata, ndata, gdata, tile_senders,
+         dia_values, dia_values_rev, edata, ndata, gdata, tile_senders,
          tile_recv, tile_wmask, tile_chunk) = children
-        P, npp, n, e, h, ttn, tte, boffs, btb, ng = aux
+        P, npp, n, e, h, ttn, tte, boffs, btb, doffs, ng = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
                    senders_int, recv_int, mask_int, senders_bnd, recv_bnd,
                    mask_bnd, band_data, band_data_rev, boffs, btb,
+                   dia_values, dia_values_rev, doffs,
                    dict(edata), dict(ndata), dict(gdata), ng, tile_senders,
                    tile_recv, tile_wmask, tile_chunk, ttn, tte)
 
@@ -136,6 +147,8 @@ def partition_graph(
     banded_tb: int = 0,
     banded_dtype=None,
     banded_max_bands: int = 16,
+    dia: bool = True,
+    dia_dtype=None,
 ) -> PartitionedGraph:
     """Partition ``g`` by receiver into contiguous node blocks.
 
@@ -321,7 +334,10 @@ def partition_graph(
             senders_bnd=jnp.asarray(s_bnd), recv_bnd=jnp.asarray(r_bnd),
             mask_bnd=jnp.asarray(m_bnd[..., None]),
         )
-        if banded_tb > 0:
+        if dia:
+            split_kw.update(_build_partition_dia(
+                s_int, r_int, m_int, P, npp, dia_dtype or banded_dtype))
+        if banded_tb > 0 and "dia_values" not in split_kw:
             split_kw.update(_build_partition_bands(
                 s_int, r_int, m_int, P, npp, banded_tb, banded_dtype,
                 banded_max_bands))
@@ -350,6 +366,42 @@ def partition_graph(
         **split_kw,
         **tile_kw,
     )
+
+
+def _build_partition_dia(s_int, r_int, m_int, P, npp, dtype,
+                         max_diags: int = 32, tile: int = 512):
+    """Per-partition DIA (scalar-diagonal) storage of the interior edges —
+    the stencil fast path inside shard_map. Strip partitions of regular
+    grids keep the global stencil offsets, so the union across partitions
+    stays tiny; unstructured interiors fail the gate and fall back to the
+    banded/tiled paths. The offset tuple is the SYMMETRIC union, so the
+    reverse (Aᵀ) values ride the same static offsets."""
+    valid = m_int > 0
+    sl = s_int[valid].astype(np.int64)
+    rl = r_int[valid].astype(np.int64)
+    qv = np.broadcast_to(np.arange(P)[:, None], m_int.shape)[valid]
+    offs_fwd = np.unique(sl - rl)
+    if len(offs_fwd) == 0:
+        return {}
+    offs = np.unique(np.concatenate([offs_fwd, -offs_fwd]))
+    # refuse unstructured interiors: many diagonals, or a large fraction of
+    # all possible local offsets (tiny partitions are trivially "diagonal")
+    if (len(offs) > max_diags or np.abs(offs).max() > 8192
+            or len(offs) > max(0.6 * (2 * npp - 1), 2)):
+        return {}
+    K = len(offs)
+    npp_pad = -(-npp // tile) * tile
+    jdtype = (jnp.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
+              else jnp.float32)
+
+    def scatter(src, dst):
+        k = np.searchsorted(offs, src - dst)
+        vals = np.zeros((P, npp_pad, K), np.float32)
+        np.add.at(vals, (qv, dst, k), 1.0)
+        return jnp.asarray(vals).astype(jdtype)
+
+    return dict(dia_values=scatter(sl, rl), dia_values_rev=scatter(rl, sl),
+                dia_offsets=tuple(int(d) for d in offs))
 
 
 def _build_partition_bands(s_int, r_int, m_int, P, npp, tb, dtype,

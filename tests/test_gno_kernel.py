@@ -104,19 +104,32 @@ def test_gnoconv_fused_matches_unfused():
     h = jnp.asarray(rng.normal(size=(30, in_chs)).astype(np.float32))
     phi = MLP((8, 16, in_chs * out_chs), activation="tanh")
 
-    l_std = GNOConv(in_chs, out_chs, phi, "tanh", initialgraph=gp)
-    l_fused = GNOConv(in_chs, out_chs, phi, "tanh", initialgraph=gp,
-                      fused=True)
+    from neuralgraphpde.ops import set_spmm_mode
+
+    l_std = GNOConv(in_chs, out_chs, phi, "tanh", initialgraph=gp,
+                    fused=False)
+    # fused=True is the DEFAULT; it engages only when the spmm mode allows
+    # Pallas (auto never does on CPU), so force it for the interpret test
+    l_fused = GNOConv(in_chs, out_chs, phi, "tanh", initialgraph=gp)
     ps, st = setup(jax.random.PRNGKey(5), l_std)
 
-    with pltpu.force_tpu_interpret_mode():
-        want, _ = l_std(h, ps, st)
-        got, _ = l_fused(h, ps, st)
+    want, _ = l_std(h, ps, st)
+    set_spmm_mode("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got, _ = l_fused(h, ps, st)
+    finally:
+        set_spmm_mode("auto")
     assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
-    with pltpu.force_tpu_interpret_mode():
-        g_std = jax.grad(lambda p: jnp.sum(l_std(h, p, st)[0] ** 2))(ps)
-        g_fused = jax.grad(lambda p: jnp.sum(l_fused(h, p, st)[0] ** 2))(ps)
+    g_std = jax.grad(lambda p: jnp.sum(l_std(h, p, st)[0] ** 2))(ps)
+    set_spmm_mode("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(
+                lambda p: jnp.sum(l_fused(h, p, st)[0] ** 2))(ps)
+    finally:
+        set_spmm_mode("auto")
     for a, b in zip(jax.tree_util.tree_leaves(g_std),
                     jax.tree_util.tree_leaves(g_fused)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)

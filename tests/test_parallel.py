@@ -456,7 +456,7 @@ def test_sharded_spmm_banded_kernel():
 
     g = grid_graph_2d(64, 16, diagonals=True)  # strips of 8 rows per device
     P_ = 8
-    pg = partition_graph(g, P_, banded_tb=32)
+    pg = partition_graph(g, P_, banded_tb=32, dia=False)  # test the BANDED path (DIA would win otherwise)
     assert pg.band_data is not None, "banded interior structure expected"
     assert pg.band_data_rev is not None
     # every interior edge is in the bands; boundary count matches the split
@@ -501,7 +501,7 @@ def test_sharded_gcn_banded_matches_single_device():
 
     g = add_self_loops(grid_graph_2d(64, 16, diagonals=True))
     P_ = 8
-    pg = partition_graph(g, P_, banded_tb=32)
+    pg = partition_graph(g, P_, banded_tb=32, dia=False)  # test the BANDED path (DIA would win otherwise)
     assert pg.band_data is not None
 
     layer = GCNConv(8, 8, "tanh", add_self_loops=False)
