@@ -53,6 +53,11 @@ class Config:
     checkpoint_steps: int = 128
     log_every: int = 10
     log_path: str = ""
+    # pickle (ps, opt_state, epoch) here every ``ckpt_every`` epochs so a
+    # killed run resumes instead of losing hours (Rprop state included —
+    # its per-leaf step sizes ARE the optimizer's memory)
+    ckpt_path: str = ""
+    ckpt_every: int = 5
 
 
 def main(cfg: Config):
@@ -122,8 +127,32 @@ def main(cfg: Config):
         return _optax.apply_updates(ps, updates), opt_state
 
     zeros_grads = jax.tree_util.tree_map(jnp.zeros_like, ps)
+
+    import pickle as _pickle
+    start_epoch = 1
+    if cfg.ckpt_path and _os.path.exists(cfg.ckpt_path):
+        with open(cfg.ckpt_path, "rb") as f:
+            saved = _pickle.load(f)
+        ps = jax.tree_util.tree_map(jnp.asarray, saved["ps"])
+        opt_state = jax.tree_util.tree_map(
+            lambda ref, v: jnp.asarray(v) if hasattr(ref, "dtype") else v,
+            opt_state, saved["opt_state"])
+        start_epoch = saved["epoch"] + 1
+        print(f"resumed from {cfg.ckpt_path} at epoch {saved['epoch']}",
+              flush=True)
+
+    def _save_ckpt(epoch):
+        if not cfg.ckpt_path:
+            return
+        blob = {"ps": jax.device_get(ps),
+                "opt_state": jax.device_get(opt_state), "epoch": epoch}
+        tmp = cfg.ckpt_path + ".tmp"
+        with open(tmp, "wb") as f:
+            _pickle.dump(blob, f)
+        _os.replace(tmp, cfg.ckpt_path)
+
     t0 = _time.time()
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         acc = zeros_grads
         losses = []
         for i in range(n_micro):
@@ -136,6 +165,9 @@ def main(cfg: Config):
             rec = logger.log(epoch, train_mse=mse)
             print(f"epoch {epoch:4d} | train mse {rec['train_mse']:.5f} "
                   f"| {_time.time()-t0:.0f}s", flush=True)
+        if cfg.ckpt_every and epoch % cfg.ckpt_every == 0:
+            _save_ckpt(epoch)
+    _save_ckpt(cfg.epochs)
     return logger
 
 
@@ -154,6 +186,7 @@ if __name__ == "__main__":
     p.add_argument("--ckpt-steps", type=int, default=128)
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--accum", type=int, default=4)
+    p.add_argument("--ckpt-path", default="")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -161,4 +194,4 @@ if __name__ == "__main__":
                 epochs=args.epochs, optimizer=args.optimizer,
                 adjoint=args.adjoint, log_path=args.log_path,
                 log_every=args.log_every, checkpoint_steps=args.ckpt_steps,
-                rtol=args.rtol, accum=args.accum))
+                rtol=args.rtol, accum=args.accum, ckpt_path=args.ckpt_path))

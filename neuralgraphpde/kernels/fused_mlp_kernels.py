@@ -19,9 +19,13 @@ with identity activation, the kernel reduces the PENULTIMATE activations and
 the last layer is applied after the reduce (``Σ(h@W+b) = (Σh)@W + deg·b``) —
 an E/N-fold FLOP saving on that layer (see ``nn.conv._phi_aggregate``).
 
-Backward is a recomputation: the ``custom_vjp`` re-runs the per-edge MLP in
-XLA (materializing activations only in the backward pass) and backprops with
-``jax.vjp`` — the same residual strategy as ``gno_kernels``.
+Backward is a recomputation — but also fused: a second Pallas kernel
+re-runs the per-edge MLP for its chunk inside VMEM, backprops layer by
+layer in registers, and accumulates the weight/bias gradients across the
+(sequential) TPU grid into revisited output blocks. Hidden activations
+never exist in HBM in either direction; the only backward HBM traffic is
+the per-edge input-gradient chunk write and the ``g_out`` node-tile reads.
+(The pre-r3 XLA recompute backward is kept as ``_bwd_xla`` for A/B.)
 """
 from __future__ import annotations
 
@@ -141,6 +145,125 @@ def _fused_mlp_fwd(acts, tiling: TiledCSR, feats: jax.Array,
     return out.astype(feats.dtype)
 
 
+def _make_bwd_kernel(acts: Tuple[Optional[str], ...]):
+    """Backward program for one edge chunk: recompute ϕ's activations in
+    VMEM, pull the chunk's output-gradient rows off the node tile with the
+    same one-hot MXU trick, then reverse through the layers. ``dws``/``dbs``
+    output blocks map every grid step to block 0 — the TPU grid is
+    sequential, so ``+=`` accumulates across chunks (initialized at c==0)."""
+    n = len(acts)
+
+    def kernel(chunk_tile_ref, feats_ref, recv_ref, wmask_ref, *rest):
+        w_refs = rest[:n]
+        g_ref = rest[2 * n]  # (tn, K_out) tile of the output cotangent
+        dfeats_ref = rest[2 * n + 1]
+        dw_refs = rest[2 * n + 2:2 * n + 2 + n]
+        db_refs = rest[2 * n + 2 + n:2 * n + 2 + 2 * n]
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            for dw in dw_refs:
+                dw[...] = jnp.zeros_like(dw)
+            for db in db_refs:
+                db[...] = jnp.zeros_like(db)
+
+        prec = jax.lax.Precision.HIGHEST
+
+        # forward recompute, keeping every activation in registers/VMEM
+        h = feats_ref[0].astype(jnp.float32)  # (TE, Fin)
+        hs = [h]
+        avjps = []
+        for w_ref, b_ref, act in zip(w_refs, rest[n:2 * n], acts):
+            z = jnp.dot(h, w_ref[...].astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                        precision=prec) + b_ref[...]
+            # elementwise vjp closure: exact derivative of the same
+            # activation the forward kernel applies
+            h, avjp = jax.vjp(_act(act), z)
+            hs.append(h)
+            avjps.append(avjp)
+
+        # chunk's rows of g_out: gm_e = w_e * g_out[recv_e]
+        tn = g_ref.shape[0]
+        te = recv_ref.shape[1]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
+        onehot = jnp.where(cols == recv_ref[0], wmask_ref[0], 0.0)
+        dh = jnp.dot(onehot, g_ref[...].astype(jnp.float32),
+                     preferred_element_type=jnp.float32, precision=prec)
+
+        for layer in reversed(range(n)):
+            dz = avjps[layer](dh)[0]
+            dw_refs[layer][...] += jax.lax.dot_general(
+                hs[layer], dz, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            db_refs[layer][...] += jnp.sum(dz, axis=0, keepdims=True)
+            dh = jax.lax.dot_general(
+                dz, w_refs[layer][...].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        dfeats_ref[0] = dh
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("acts", "interpret"))
+def _fused_mlp_bwd_pallas(acts, tiling: TiledCSR, feats: jax.Array,
+                          ws: Tuple[jax.Array, ...],
+                          bs: Tuple[jax.Array, ...], g_out: jax.Array,
+                          interpret: bool = False):
+    C, te = tiling.senders.shape
+    fin = feats.shape[1]
+    n = len(ws)
+    k_out = ws[-1].shape[1]
+
+    eidx = tiling.senders.reshape(-1)
+    feats_c = jnp.take(feats, eidx, axis=0).reshape(C, te, fin)
+    recv3 = tiling.recv_local.reshape(C, te, 1)
+    wmask3 = tiling.wmask.reshape(C, te, 1)
+
+    in_specs = [
+        pl.BlockSpec((1, te, fin), lambda c, ct: (c, 0, 0)),
+        pl.BlockSpec((1, te, 1), lambda c, ct: (c, 0, 0)),
+        pl.BlockSpec((1, te, 1), lambda c, ct: (c, 0, 0)),
+    ]
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda c, ct: (0, 0)))
+    for b in bs:
+        in_specs.append(pl.BlockSpec(b.shape, lambda c, ct: (0, 0)))
+    in_specs.append(  # cotangent node tile for this chunk
+        pl.BlockSpec((tiling.tn, k_out), lambda c, ct: (ct[c], 0)))
+
+    out_shapes = ([jax.ShapeDtypeStruct((C, te, fin), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
+    out_specs = ([pl.BlockSpec((1, te, fin), lambda c, ct: (c, 0, 0))]
+                 + [pl.BlockSpec(w.shape, lambda c, ct: tuple(
+                     0 for _ in w.shape)) for w in ws]
+                 + [pl.BlockSpec(b.shape, lambda c, ct: tuple(
+                     0 for _ in b.shape)) for b in bs])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        _make_bwd_kernel(acts),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(tiling.chunk_tile, feats_c, recv3, wmask3, *ws, *bs,
+      g_out.astype(jnp.float32))
+
+    dfeats_c = outs[0].reshape(-1, fin)
+    dfeats = jax.ops.segment_sum(dfeats_c, eidx, num_segments=feats.shape[0])
+    dws = tuple(d.astype(w.dtype) for d, w in zip(outs[1:1 + n], ws))
+    dbs = tuple(d.astype(b.dtype) for d, b in zip(outs[1 + n:], bs))
+    return dfeats.astype(feats.dtype), dws, dbs
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_mlp_aggregate(acts: Tuple[Optional[str], ...], feats: jax.Array,
                         ws: Tuple[jax.Array, ...],
@@ -162,6 +285,15 @@ def _fwd(acts, feats, ws, bs, tiling):
 
 
 def _bwd(acts, res, g_out):
+    feats, ws, bs, tiling = res
+    dfeats, dws, dbs = _fused_mlp_bwd_pallas(acts, tiling, feats, ws, bs,
+                                             g_out)
+    return (dfeats, dws, dbs, _zeros_like_tree(tiling))
+
+
+def _bwd_xla(acts, res, g_out):
+    """Pre-r3 backward: recompute the per-edge MLP in XLA (activations
+    materialize in HBM). Kept for A/B against the fused Pallas backward."""
     feats, ws, bs, tiling = res
     eidx = tiling.senders.reshape(-1)  # (S,) edge ids per chunk slot
     recv_glob = (tiling.chunk_tile[:, None] * tiling.tn

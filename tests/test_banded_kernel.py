@@ -110,8 +110,10 @@ def test_spmm_dispatch_uses_banded_kernel_on_noncpu(monkeypatch):
     from neuralgraphpde.ops.spmm import precompute, spmm
 
     g = grid_graph_2d(40, 40)
+    # dia=False: on a grid the DIA stencil path outranks banded — disable it
+    # so this test exercises the banded dispatch specifically
     g = precompute(add_self_loops(g), dense=False, pallas=False, bsr=True,
-                   bsr_tb=64)
+                   bsr_tb=64, dia=False)
     assert "banded" in g.cache and "banded_rev" in g.cache
 
     calls = {"n": 0}
