@@ -25,7 +25,8 @@ Paths:
 Secondaries printed as comment lines: a random graph (2^18 nodes, deg 16:
 xla vs tcsr_bf16 — gather-path regression tracking) and the VMH RHS (full
 VMHConv forward, hidden 60 / msg 40: XLA layer path vs the fused edge-MLP
-kernel ``kernels.fused_mlp_kernels``).
+kernel ``kernels.fused_mlp_kernels``, forward-only AND forward+VJP — the
+``*_grad`` paths exercise the fused Pallas backward).
 
 Robustness (see docs/tpu_design.md): the tunneled TPU backend has
 minute-scale per-process session warm-up, stalls on large device→host
@@ -64,7 +65,7 @@ MESH_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_MESH_TIMEOUT", "1200"))
 JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "fused_bf16",
                   "banded_bf16", "tcsr_bf16")),
         ("rand", ("xla", "tcsr_bf16")),
-        ("vmh", ("xla", "fused"))]
+        ("vmh", ("xla", "fused", "xla_grad", "fused_grad"))]
 
 
 def _worker(outfile: str, tag: str, paths) -> None:
@@ -268,13 +269,25 @@ def _vmh_worker(emit, paths) -> None:
 
     for path in paths:
         try:
-            set_spmm_mode("xla" if path == "xla" else "pallas")
+            set_spmm_mode("xla" if path.startswith("xla") else "pallas")
+            grad_path = path.endswith("_grad")
 
             @jax.jit
-            def loop(x0, iters, st):
-                def rhs(v):
-                    y, _ = layer(v, ps, st)
-                    return y
+            def loop(x0, iters, st, grad_path=grad_path):
+                if grad_path:
+                    # training-path analog: forward + full VJP per step
+                    # (exercises the fused Pallas backward vs the XLA
+                    # layer-by-layer backward)
+                    def rhs(v):
+                        def f(v):
+                            y, _ = layer(v, ps, st)
+                            return jnp.sum(y * y)
+
+                        return v - 1e-9 * jax.grad(f)(v)
+                else:
+                    def rhs(v):
+                        y, _ = layer(v, ps, st)
+                        return y
 
                 return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
 
@@ -342,6 +355,9 @@ def main():
     if "xla" in vmh and "fused" in vmh and vmh["xla"] > 0:
         print(f"# vmh fused speedup: {vmh['fused'] / vmh['xla']:.2f}x",
               flush=True)
+    if "xla_grad" in vmh and "fused_grad" in vmh and vmh["xla_grad"] > 0:
+        print("# vmh fused grad (fwd+VJP) speedup: "
+              f"{vmh['fused_grad'] / vmh['xla_grad']:.2f}x", flush=True)
 
     base_eps = mesh.get("xla", 0.0)
     best_eps = max((v for k, v in mesh.items() if k != "xla"), default=0.0)
