@@ -66,6 +66,7 @@ from .nn import (
     GNOConv,
     SpectralConv,
 )
+from .nn import Precision, bf16
 from .utils import drop, wrapgraph, update_graph, updategraph
 from .ode import (
     NeuralGraphODE,
