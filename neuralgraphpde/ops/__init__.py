@@ -30,7 +30,8 @@ from .message_passing import (
 from .spmm import spmm, precompute, set_spmm_mode, get_spmm_mode
 from .bsr import (BsrMatrix, BandedMatrix, build_bsr, bsr_spmm,
                   build_banded, banded_spmm, precompute_bsr)
-from .dia import DiaMatrix, build_dia, dia_spmm, transpose_dia
+from .dia import (DiaMatrix, build_dia, build_dia_hybrid,
+                  dia_remainder_spmm, dia_spmm, transpose_dia)
 
 __all__ = [
     "gather", "segment_sum", "segment_mean", "segment_max", "segment_min",
@@ -41,5 +42,6 @@ __all__ = [
     "softmax_edges", "softmax_edge_neighbors", "spmm", "precompute",
     "set_spmm_mode", "get_spmm_mode", "BsrMatrix", "BandedMatrix",
     "build_bsr", "bsr_spmm", "build_banded", "banded_spmm", "precompute_bsr",
-    "DiaMatrix", "build_dia", "dia_spmm", "transpose_dia",
+    "DiaMatrix", "build_dia", "build_dia_hybrid", "dia_remainder_spmm",
+    "dia_spmm", "transpose_dia",
 ]

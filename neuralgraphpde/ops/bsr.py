@@ -237,10 +237,23 @@ def precompute_bsr(
         s, r = g.host_coo
     else:
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
-    from .dia import build_dia, transpose_dia
+    from .dia import build_dia, build_dia_hybrid, transpose_dia
 
     dm = (build_dia(s, r, g.num_nodes, edge_weight=edge_weight, dtype=dtype)
           if dia else None)
+    hyb = (build_dia_hybrid(s, r, g.num_nodes, edge_weight=edge_weight,
+                            dtype=dtype) if dia else None)
+    # almost-DIA (e.g. periodic grids: stencil bulk + wrap edges): take the
+    # DIA-main + tiny COO remainder split when full DIA can't ride the
+    # stencil kernel at all, or when dropping the sparse far diagonals
+    # shrinks the kernel's streamed x-window ≥4× (window traffic ∝ bandwidth)
+    if hyb is not None and (dm is None or dm.bandwidth > 8192
+                            or 4 * hyb[0].bandwidth <= dm.bandwidth):
+        dm_h, rs, rr, rw = hyb
+        return g.copy(cache={
+            **g.cache, "dia": dm_h, "dia_rev": transpose_dia(dm_h),
+            "dia_rem": (jnp.asarray(rs), jnp.asarray(rr), jnp.asarray(rw)),
+        })
     if dm is not None and dm.bandwidth <= 8192:
         # scalar-diagonal structure (regular grids / stencil meshes): one
         # value per edge, stencil kernel — strictly dominates the banded

@@ -93,6 +93,77 @@ def build_dia(
                      num_nodes=num_nodes)
 
 
+def build_dia_hybrid(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    edge_weight: Optional[np.ndarray] = None,
+    max_diags: int = 32,
+    tile: int = 512,
+    dtype=np.float32,
+    bw_limit: int = 8192,
+    min_fill: float = 0.25,
+    rem_frac: float = 0.05,
+):
+    """Almost-DIA graphs: stencil bulk + tiny COO remainder.
+
+    Keeps the populous, kernel-reachable diagonals (fill ≥ ``min_fill``·N
+    and |offset| ≤ ``bw_limit`` — the Pallas stencil kernel streams an
+    x-window of ±bandwidth rows, so huge offsets can't ride it) and spills
+    every other edge to a receiver-sorted COO remainder. The canonical case
+    is a periodic grid (MP-PDE's Burgers domain): the interior stencil is
+    pure DIA, the wrap edges (~1/nx of E) land on ±(n−ny)-ish offsets and
+    become the remainder. Returns ``(DiaMatrix, rem_s, rem_r, rem_w)`` with
+    numpy remainder arrays, or None when the split isn't worth it (no kept
+    diagonal, or remainder > ``rem_frac``·E — unstructured graphs).
+    """
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    E = senders.shape[0]
+    if E == 0:
+        return None
+    w = (np.ones(E, np.float32) if edge_weight is None
+         else np.asarray(edge_weight, np.float32).reshape(-1))
+    d = senders - receivers
+    offsets, inv, counts = np.unique(d, return_inverse=True,
+                                     return_counts=True)
+    good = (np.abs(offsets) <= bw_limit) & (counts >= min_fill * num_nodes)
+    if good.sum() > max_diags:
+        # most-populous first among the eligible
+        order = np.argsort(np.where(good, counts, -1))[::-1][:max_diags]
+        good = np.zeros_like(good)
+        good[order] = True
+    if not good.any():
+        return None
+    keep_edge = good[inv]
+    rem = ~keep_edge
+    n_rem = int(rem.sum())
+    if n_rem == 0:  # pure DIA — caller should use build_dia directly
+        return None
+    if n_rem > rem_frac * E:
+        return None
+    dm = build_dia(senders[keep_edge], receivers[keep_edge], num_nodes,
+                   edge_weight=w[keep_edge], max_diags=max_diags, tile=tile,
+                   dtype=dtype)
+    if dm is None:
+        return None
+    rs, rr, rw = senders[rem], receivers[rem], w[rem]
+    order = np.argsort(rr, kind="stable")  # segment_sum sorted fast path
+    return (dm, rs[order].astype(np.int32), rr[order].astype(np.int32),
+            rw[order].astype(np.float32))
+
+
+def dia_remainder_spmm(rem, x: jax.Array, num_nodes: int) -> jax.Array:
+    """The COO remainder term ``Σ_{e∉DIA} w_e · x[s_e] → r_e`` — plain jnp
+    gather + sorted segment-sum, differentiable by autodiff (its transpose
+    is the scatter/gather pair XLA derives)."""
+    rs, rr, rw = rem
+    msgs = rw[:, None].astype(x.dtype) * jnp.take(x, rs, axis=0)
+    return jax.ops.segment_sum(msgs, rr, num_segments=num_nodes,
+                               indices_are_sorted=True)
+
+
 def transpose_dia(dm: DiaMatrix) -> DiaMatrix:
     """Aᵀ: offset −d holds values shifted by d. Pure jnp (static shifts), so
     it works both at build time and traced inside a VJP when no prebuilt

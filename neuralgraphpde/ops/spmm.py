@@ -162,7 +162,11 @@ def precompute(
                             edge_weight=edge_weight, dia=dia)
         if (gcn_fused or (gcn_fused is None and add_self_loops)) \
                 and ("banded" in g2.cache or "dia" in g2.cache) \
+                and "dia_rem" not in g2.cache \
                 and edge_weight is None:
+            # (hybrid DIA graphs skip the normalized fused-RHS build: the
+            # remainder term doesn't ride the stencil kernel — they use the
+            # generic dia+remainder spmm with separate degree scalings)
             # Degree-NORMALIZED structure (C·Ã·C) for the fused GCN RHS
             # kernels (kernels.dia_gcn_rhs / banded_gcn_rhs): the two N×F
             # degree scalings become stored values, paid once at build time
@@ -312,11 +316,18 @@ def spmm(g: GnnGraph, x: jax.Array,
             if _pallas_available():
                 from ..kernels.dia_kernels import dia_spmm_pallas
 
-                return dia_spmm_pallas(x, g.cache["dia"],
-                                       g.cache.get("dia_rev"))
-            from .dia import dia_spmm
+                y = dia_spmm_pallas(x, g.cache["dia"],
+                                    g.cache.get("dia_rev"))
+            else:
+                from .dia import dia_spmm
 
-            return dia_spmm(g.cache["dia"], x)
+                y = dia_spmm(g.cache["dia"], x)
+            rem = g.cache.get("dia_rem")
+            if rem is not None:  # hybrid: + tiny COO remainder (wrap edges)
+                from .dia import dia_remainder_spmm
+
+                y = y + dia_remainder_spmm(rem, x, g.num_nodes)
+            return y
         if "banded" in g.cache:
             if _pallas_available():
                 from ..kernels.banded_kernels import banded_spmm_pallas

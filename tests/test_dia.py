@@ -119,3 +119,67 @@ def test_gcnconv_dia_fused_matches_xla(act):
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3,
                                    rtol=2e-3)
+
+
+# ---------------------------------------------------------------- hybrid DIA
+def _periodic_grid(nx=40, ny=32):
+    g = grid_graph_2d(nx, ny, periodic=True)
+    return g, np.asarray(g.senders), np.asarray(g.receivers)
+
+
+def test_hybrid_build_on_periodic_grid():
+    from neuralgraphpde.ops.dia import build_dia_hybrid
+
+    g, s, r = _periodic_grid()
+    # full DIA refuses nothing here (few offsets) but the wrap offsets blow
+    # the kernel bandwidth gate — the hybrid keeps the interior stencil and
+    # spills the wrap edges
+    hyb = build_dia_hybrid(s, r, g.num_nodes, bw_limit=64)
+    assert hyb is not None
+    dm, rs, rr, rw = hyb
+    assert max(abs(d) for d in dm.offsets) <= 64
+    # remainder = the wrap edges: 2 per boundary node per wrapped dimension
+    assert 0 < len(rs) < 0.1 * g.num_edges
+    # split is exact: DIA part + remainder == full scatter
+    x = jnp.asarray(np.random.default_rng(2)
+                    .normal(size=(g.num_nodes, 5)).astype(np.float32))
+    from neuralgraphpde.ops.dia import dia_remainder_spmm
+
+    got = dia_spmm(dm, x) + dia_remainder_spmm(
+        (jnp.asarray(rs), jnp.asarray(rr), jnp.asarray(rw)), x, g.num_nodes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(spmm_xla(g, x)),
+                               atol=1e-4)
+
+
+def test_hybrid_rejects_unstructured():
+    from neuralgraphpde.ops.dia import build_dia_hybrid
+
+    rng = np.random.default_rng(3)
+    n, e = 4096, 40960
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    assert build_dia_hybrid(s, r, n) is None
+
+
+def test_hybrid_precompute_dispatch_and_grad():
+    """precompute on a periodic grid engages the hybrid (dia + dia_rem) and
+    spmm matches XLA forward + gradient (interpret-mode kernel)."""
+    from neuralgraphpde.ops.spmm import precompute as _pre
+    from neuralgraphpde.ops.spmm import spmm
+
+    g, s, r = _periodic_grid(64, 48)
+    gp = _pre(g, dense=False, pallas=False, bsr=True)
+    assert "dia" in gp.cache and "dia_rem" in gp.cache
+
+    x = jnp.asarray(np.random.default_rng(4)
+                    .normal(size=(g.num_nodes, 6)).astype(np.float32))
+
+    def f(x, graph):
+        return jnp.sum(spmm(graph, x) ** 2)
+
+    lx, gx = jax.value_and_grad(f)(x, g)  # no cache: XLA scatter
+    with pltpu.force_tpu_interpret_mode():
+        lp, gp_ = jax.value_and_grad(f)(x, gp)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_), np.asarray(gx), atol=2e-3,
+                               rtol=2e-3)
