@@ -29,7 +29,7 @@ class Config:
 
 
 def main(cfg: Config):
-    from neuralgraphpde import setup
+    from neuralgraphpde import precompute, setup
     from neuralgraphpde.data.pde import burgers_dataset
     from neuralgraphpde.models import MPPDESolver
     from neuralgraphpde.train import MetricsLogger, adam, make_train_step
@@ -40,8 +40,12 @@ def main(cfg: Config):
     T = data.u.shape[1]
     assert T >= 3 * K, "need at least 3 bundles of snapshots"
 
+    # precompute attaches the edge tiling that lets every MPPDEConv ride the
+    # fused Pallas edge-MLP kernel (graph copies inside the model keep the
+    # cache alive)
+    g = precompute(data.graph, dense=False)
     model = MPPDESolver(bundle=K, hidden=cfg.hidden, depth=cfg.depth,
-                        pos_dim=1, initialgraph=data.graph)
+                        pos_dim=1, initialgraph=g)
     ps, st = setup(jax.random.PRNGKey(cfg.seed), model)
 
     # windows: (S, nx, T) -> samples of (u_window, u_next, u_next2)
