@@ -19,9 +19,13 @@ Layouts (host-prepared, see ``ops.precompute`` / ``build_tiled_csr``):
   slices on the leading dim (lane-aligned dynamic indexing)
 - ``bl``      (IN, 1, OUT) — last-layer bias (zeros when absent)
 
-Backward is algebraically a dense recomputation; the custom_vjp uses XLA
-einsums on the saved residuals (training pays the materialization only in
-the backward pass).
+Backward is fused too (r3): a second Pallas kernel recomputes each chunk's
+per-channel kernel slices ``W_i`` in VMEM and contracts them against the
+chunk's output-gradient rows channel by channel — the ``E·in·out`` tensor
+(and its gradient) never exists in HBM in either direction. Weight/bias
+gradients accumulate across the sequential TPU grid into revisited output
+blocks. (The pre-r3 XLA einsum backward, which materialized ``dW_s`` =
+(S, IN, OUT), is kept as ``_fused_bwd_xla`` for A/B.)
 """
 from __future__ import annotations
 
@@ -126,6 +130,124 @@ def _fused_gno_fwd(edge_tiling: TiledCSR, senders: jax.Array,
     return out.astype(ph.dtype)
 
 
+def _gno_bwd_kernel(chunk_tile_ref, ph_ref, h_ref, recv_ref, wmask_ref,
+                    wl_ref, bl_ref, g_ref, dph_ref, dh_ref, dwl_ref,
+                    dbl_ref):
+    """Backward program for one edge chunk. Recompute ``W_i`` per input
+    channel in VMEM; contract with the chunk's pulled output-gradient rows:
+
+        gm_e   = w_e · g_out[recv_e]                   (one-hot MXU pull)
+        dh[:,i]  = Σ_o W_i ⊙ gm                        (matvec transpose)
+        dW_i     = h[:, i] ⊙ gm        (never materialized beyond (TE,OUT))
+        dph     += dW_i @ Wl[i]ᵀ
+        dwl[i]  += phᵀ @ dW_i          (accumulated across the grid)
+        dbl[i]  += Σ_e dW_i
+    """
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dwl_ref[...] = jnp.zeros_like(dwl_ref)
+        dbl_ref[...] = jnp.zeros_like(dbl_ref)
+
+    ph = ph_ref[0].astype(jnp.float32)  # (TE, K)
+    h = h_ref[0].astype(jnp.float32)  # (TE, IN)
+    te, in_chs = h.shape
+    tn = g_ref.shape[0]
+    prec = jax.lax.Precision.HIGHEST
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
+    onehot = jnp.where(cols == recv_ref[0], wmask_ref[0], 0.0)
+    gm = jnp.dot(onehot, g_ref[...].astype(jnp.float32),
+                 preferred_element_type=jnp.float32, precision=prec)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, in_chs), 1)
+
+    def body(i, carry):
+        dph, dh = carry
+        wl_i = wl_ref[i].astype(jnp.float32)  # (K, OUT)
+        wi = jnp.dot(ph, wl_i, preferred_element_type=jnp.float32,
+                     precision=prec) + bl_ref[i]
+        dh_i = jnp.sum(wi * gm, axis=1, keepdims=True)  # (TE, 1)
+        dh = dh + jnp.where(col_ids == i, dh_i, 0.0)
+        h_i = jnp.sum(jnp.where(col_ids == i, h, 0.0), axis=1,
+                      keepdims=True)
+        dw_i = h_i * gm  # (TE, OUT) — the only W-sized live tensor
+        dph = dph + jax.lax.dot_general(
+            dw_i, wl_i, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dwl_ref[i] += jax.lax.dot_general(
+            ph, dw_i, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dbl_ref[i] += jnp.sum(dw_i, axis=0, keepdims=True)
+        return dph, dh
+
+    K = ph.shape[1]
+    dph, dh = jax.lax.fori_loop(
+        0, in_chs, body,
+        (jnp.zeros((te, K), jnp.float32), jnp.zeros((te, in_chs),
+                                                    jnp.float32)))
+    dph_ref[0] = dph
+    dh_ref[0] = dh
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_gno_bwd_pallas(edge_tiling: TiledCSR, senders: jax.Array,
+                          ph: jax.Array, h: jax.Array, wl: jax.Array,
+                          bl: Optional[jax.Array], g_out: jax.Array,
+                          interpret: bool = False):
+    C, te = edge_tiling.senders.shape
+    K = ph.shape[1]
+    in_chs, _, out_chs = wl.shape
+
+    eidx = edge_tiling.senders.reshape(-1)
+    ph_c = jnp.take(ph, eidx, axis=0).reshape(C, te, K)
+    nidx = jnp.take(senders, eidx)
+    h_c = jnp.take(h, nidx, axis=0).reshape(C, te, in_chs)
+    recv3 = edge_tiling.recv_local.reshape(C, te, 1)
+    wmask3 = edge_tiling.wmask.reshape(C, te, 1)
+    bl_k = (jnp.zeros((in_chs, 1, out_chs), ph.dtype) if bl is None else bl)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, te, K), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, te, in_chs), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, te, 1), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, te, 1), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((in_chs, K, out_chs), lambda c, ct: (0, 0, 0)),
+            pl.BlockSpec((in_chs, 1, out_chs), lambda c, ct: (0, 0, 0)),
+            pl.BlockSpec((edge_tiling.tn, out_chs),
+                         lambda c, ct: (ct[c], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, te, K), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, te, in_chs), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((in_chs, K, out_chs), lambda c, ct: (0, 0, 0)),
+            pl.BlockSpec((in_chs, 1, out_chs), lambda c, ct: (0, 0, 0)),
+        ],
+    )
+    dph_c, dh_c, dwl, dbl = pl.pallas_call(
+        _gno_bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, te, K), jnp.float32),
+            jax.ShapeDtypeStruct((C, te, in_chs), jnp.float32),
+            jax.ShapeDtypeStruct((in_chs, K, out_chs), jnp.float32),
+            jax.ShapeDtypeStruct((in_chs, 1, out_chs), jnp.float32),
+        ],
+        interpret=interpret,
+    )(edge_tiling.chunk_tile, ph_c, h_c, recv3, wmask3, wl, bl_k,
+      g_out.astype(jnp.float32))
+
+    dph = jax.ops.segment_sum(dph_c.reshape(-1, K), eidx,
+                              num_segments=ph.shape[0])
+    dh = jax.ops.segment_sum(dh_c.reshape(-1, in_chs), nidx,
+                             num_segments=h.shape[0])
+    return dph, dh, dwl, (None if bl is None else dbl)
+
+
 @jax.custom_vjp
 def fused_gno_aggregate(ph, h, wl, bl, edge_tiling, senders):
     """``out[n] = Σ_{e→n} w_e · (reshape(ph_e @ Wl + b, in×out)ᵀ h_send(e))``
@@ -142,7 +264,25 @@ def _fused_fwd(ph, h, wl, bl, edge_tiling, senders):
     return out, (ph, h, wl, bl, edge_tiling, senders)
 
 
+def _zeros_tiling(t):
+    return jax.tree_util.tree_map(
+        lambda l: np.zeros(l.shape, jax.dtypes.float0)
+        if jnp.issubdtype(l.dtype, jnp.integer) else jnp.zeros_like(l), t)
+
+
 def _fused_bwd(res, g_out):
+    ph, h, wl, bl, edge_tiling, senders = res
+    dph, dh, dwl, dbl = _fused_gno_bwd_pallas(edge_tiling, senders, ph, h,
+                                              wl, bl, g_out)
+    return (dph.astype(ph.dtype), dh.astype(h.dtype), dwl.astype(wl.dtype),
+            None if dbl is None else dbl.astype(bl.dtype),
+            _zeros_tiling(edge_tiling),
+            np.zeros(senders.shape, jax.dtypes.float0))
+
+
+def _fused_bwd_xla(res, g_out):
+    """Pre-r3 backward: XLA einsums on the residuals — materializes the
+    (S, IN, OUT) per-edge kernel gradient in HBM. Kept for A/B."""
     ph, h, wl, bl, edge_tiling, senders = res
     C, te = edge_tiling.senders.shape
     in_chs, K, out_chs = wl.shape
