@@ -161,16 +161,24 @@ def sharded_spmm(
     x: jax.Array,
     mesh: Mesh,
     axis_name: str = GRAPH_AXIS,
+    feature_axis: Optional[str] = None,
 ) -> jax.Array:
     """Distributed ``out[i] = Σ_{j→i} x[j]`` over row-sharded features.
 
-    ``x``: (padded_nodes, F) sharded ``P(axis_name, None)``. Returns the same
-    sharding. Uses the targeted all_to_all halo when the partition carries
-    the metadata; all_gather otherwise. With per-partition bands
+    ``x``: (padded_nodes, F) sharded ``P(axis_name, feature_axis)``. Returns
+    the same sharding. Uses the targeted all_to_all halo when the partition
+    carries the metadata; all_gather otherwise. With per-partition bands
     (``partition_graph(banded_tb=...)``) the interior aggregation runs on
     the Pallas streaming banded kernel.
+
+    ``feature_axis`` names a SECOND mesh axis sharding the feature columns
+    (2-D graph x model layout): the aggregation is independent per column,
+    so each model shard runs the same per-partition body on its F/size
+    columns and the halo all_to_all stays entirely on ``axis_name`` — no
+    cross-axis collective is ever needed.
     """
     npp = pg.nodes_per_part
+    xs = P(axis_name, feature_axis)
 
     if pg.dia_values is not None:
         offsets = pg.dia_offsets
@@ -183,10 +191,10 @@ def sharded_spmm(
         dia_spec = P(axis_name, None, None)
         f = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis_name, None), dia_spec, dia_spec,
+            in_specs=(xs, dia_spec, dia_spec,
                       P(axis_name, None), P(axis_name, None),
                       P(axis_name, None, None), P(axis_name, None, None)),
-            out_specs=P(axis_name, None), check_vma=False)
+            out_specs=xs, check_vma=False)
         return f(x, pg.dia_values, pg.dia_values_rev, pg.senders_bnd,
                  pg.recv_bnd, pg.mask_bnd, pg.send_idx)
 
@@ -202,7 +210,7 @@ def sharded_spmm(
                 offsets, tb, axis_name)
 
         band_spec = P(axis_name, *(None,) * 4)
-        specs = ((P(axis_name, None), band_spec)
+        specs = ((xs, band_spec)
                  + ((band_spec,) if has_rev else ())
                  + (P(axis_name, None), P(axis_name, None),
                     P(axis_name, None, None), P(axis_name, None, None)))
@@ -210,7 +218,7 @@ def sharded_spmm(
                 + ((pg.band_data_rev,) if has_rev else ())
                 + (pg.senders_bnd, pg.recv_bnd, pg.mask_bnd, pg.send_idx))
         f = jax.shard_map(body, mesh=mesh, in_specs=specs,
-                          out_specs=P(axis_name, None), check_vma=False)
+                          out_specs=xs, check_vma=False)
         return f(*args)
 
     if pg.tile_senders is not None:
@@ -222,10 +230,10 @@ def sharded_spmm(
 
         f = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis_name, None), P(axis_name, None, None),
+            in_specs=(xs, P(axis_name, None, None),
                       P(axis_name, None, None), P(axis_name, None, None),
                       P(axis_name, None, None), P(axis_name, None)),
-            out_specs=P(axis_name, None),
+            out_specs=xs,
             # pallas_call inside shard_map can't express varying-mesh-axes
             # metadata on its out_shape yet
             check_vma=False,
@@ -242,11 +250,11 @@ def sharded_spmm(
 
         f = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis_name, None), P(axis_name, None),
+            in_specs=(xs, P(axis_name, None),
                       P(axis_name, None), P(axis_name, None, None),
                       P(axis_name, None), P(axis_name, None),
                       P(axis_name, None, None), P(axis_name, None, None)),
-            out_specs=P(axis_name, None),
+            out_specs=xs,
         )
         return f(x, pg.senders_int, pg.recv_int, pg.mask_int, pg.senders_bnd,
                  pg.recv_bnd, pg.mask_bnd, pg.send_idx)
@@ -258,10 +266,10 @@ def sharded_spmm(
 
         f = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis_name, None), P(axis_name, None),
+            in_specs=(xs, P(axis_name, None),
                       P(axis_name, None), P(axis_name, None, None),
                       P(axis_name, None, None)),
-            out_specs=P(axis_name, None),
+            out_specs=xs,
         )
         return f(x, pg.senders_halo, pg.receivers_local, pg.edge_mask,
                  pg.send_idx)
@@ -272,9 +280,9 @@ def sharded_spmm(
 
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
+        in_specs=(xs, P(axis_name, None), P(axis_name, None),
                   P(axis_name, None, None)),
-        out_specs=P(axis_name, None),
+        out_specs=xs,
     )
     return f(x, pg.senders_global, pg.receivers_local, pg.edge_mask)
 

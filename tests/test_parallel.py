@@ -525,3 +525,40 @@ def test_sharded_gcn_banded_matches_single_device():
     y = unpad_node_features(y, pg)
     np.testing.assert_allclose(np.asarray(y), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_spmm_2d_mesh_feature_axis():
+    """2-D graph x model layout: the graph axis partitions nodes/edges, the
+    model axis shards the feature columns. The halo all_to_all stays on the
+    graph axis; every model shard aggregates its own columns. Must match
+    the single-device SpMM exactly, forward and gradient."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("graph", "model"))
+
+    g = rand_graph(96, 640, seed=21)
+    pg = partition_graph(g, 4, halo=True)
+    x = np.random.default_rng(21).normal(size=(96, 16)).astype(np.float32)
+    want = np.asarray(spmm(g, jnp.asarray(x)))
+
+    xp = jax.device_put(
+        pad_node_features(x, pg),
+        NamedSharding(mesh2, P("graph", "model")))
+    got = sharded_spmm(pg, xp, mesh2, feature_axis="model")
+    assert got.sharding.spec == P("graph", "model")
+    assert np.allclose(np.asarray(got)[: g.num_nodes], want, atol=1e-5)
+
+    def loss(xp):
+        return jnp.sum(
+            sharded_spmm(pg, xp, mesh2, feature_axis="model")
+            [: g.num_nodes] ** 2)
+
+    gx = jax.grad(loss)(xp)
+    # reference gradient: d/dx sum((A x)^2) = 2 A^T A x on the same padding
+    pad = np.asarray(xp)
+    a = np.zeros((g.num_nodes, g.num_nodes), np.float32)
+    np.add.at(a, (np.asarray(g.receivers), np.asarray(g.senders)), 1.0)
+    want_g = 2.0 * a.T @ (a @ pad[: g.num_nodes])
+    assert np.allclose(np.asarray(gx)[: g.num_nodes], want_g, atol=1e-4)
