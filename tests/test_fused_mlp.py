@@ -133,3 +133,37 @@ def test_fused_isolated_receivers_mean():
     x = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
     (yx, _), (yp, _) = _run_both(layer, x, extra_graph=g, seed=5)
     np.testing.assert_allclose(yp, yx, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_backward_inside_checkpoint_adjoint():
+    """The checkpoint-replay adjoint vjps through the RHS — the fused Pallas
+    backward must give the same parameter gradients as the XLA path when ϕ
+    runs inside a NeuralGraphODE solve."""
+    from neuralgraphpde import NeuralGraphODE
+
+    rng = np.random.default_rng(7)
+    g = _mk_graph(rng, n=40, e=240)
+    core = VMHConv(MLP((1 + 1 + 2, 12, 12, 6), "tanh"), MLP((1 + 6, 12, 1)))
+    node = NeuralGraphODE(core, tspan=(0.0, 0.1), saveat=(0.0, 0.05, 0.1),
+                          adjoint="checkpoint", checkpoint_steps=16)
+    ps, st = setup(jax.random.PRNGKey(7), node)
+    st = update_graph(st, g)
+    x = jnp.asarray(rng.normal(size=(40, 1)).astype(np.float32))
+
+    def loss(ps):
+        y, _ = node(x, ps, st)
+        return jnp.mean(y ** 2)
+
+    set_spmm_mode("xla")
+    try:
+        lx, gx = jax.value_and_grad(loss)(ps)
+    finally:
+        set_spmm_mode("auto")
+    set_spmm_mode("pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            lp, gp = jax.value_and_grad(loss)(ps)
+    finally:
+        set_spmm_mode("auto")
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+    _tree_close(gp, gx, atol=1e-4)
