@@ -16,7 +16,8 @@ from .halo import (
 )
 from .layers import (ShardedGCNConv, ShardedVMHConv, ShardedMPPDEConv,
                      ShardedGNOConv, sharded_grand_model)
-from .tp import shard_mlp_params, replicate_params
+from .tp import (shard_mlp_params, replicate_params,
+                 row_parallel_dense)
 
 __all__ = [
     "PartitionedGraph", "partition_graph", "reorder_for_partition", "pad_node_features",
@@ -24,5 +25,5 @@ __all__ = [
     "sharded_gcn_forward", "sharded_propagate", "shard_node_features", "replicate",
     "ShardedGCNConv", "ShardedVMHConv", "ShardedMPPDEConv", "ShardedGNOConv",
     "sharded_grand_model",
-    "shard_mlp_params", "replicate_params",
+    "shard_mlp_params", "replicate_params", "row_parallel_dense",
 ]

@@ -46,3 +46,44 @@ def shard_mlp_params(
 
 def replicate_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, NamedSharding(mesh, P()))
+
+
+def row_parallel_dense(
+    x: jax.Array,
+    weight: jax.Array,
+    bias=None,
+    *,
+    mesh: Mesh,
+    axis_name: str = "model",
+    x_specs: P = None,
+):
+    """Row-parallel Dense — the pairing that CLOSES a column-parallel (or
+    feature-sharded) stage: ``x`` arrives with its feature columns sharded
+    on ``axis_name``, ``weight`` is row-sharded to match, each shard
+    computes its partial ``x_shard @ w_shard`` and one ``psum`` over
+    ``axis_name`` restores the full output (Megatron MLP pairing; the
+    all-reduce rides the ICI).
+
+    Composes with ``sharded_spmm(..., feature_axis=axis_name)``: aggregate
+    with 2-D graph×model sharding, then contract the model axis away here.
+    ``x_specs`` gives x's full PartitionSpec (default
+    ``P(None, axis_name)``); the output keeps every non-feature axis of it
+    and replicates the feature axis.
+    """
+    if x_specs is None:
+        x_specs = P(None, axis_name)
+    out_specs = P(*x_specs[:-1], None)
+
+    def body(x_block, w_block):
+        partial = jax.lax.dot_general(
+            x_block, w_block, dimension_numbers=(((x_block.ndim - 1,), (0,)),
+                                                 ((), ())),
+            preferred_element_type=x_block.dtype)
+        return jax.lax.psum(partial, axis_name)
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(x_specs, P(axis_name, None)),
+        out_specs=out_specs, check_vma=False)
+    y = f(x, weight)
+    return y if bias is None else y + bias

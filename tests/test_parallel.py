@@ -562,3 +562,34 @@ def test_sharded_spmm_2d_mesh_feature_axis():
     np.add.at(a, (np.asarray(g.receivers), np.asarray(g.senders)), 1.0)
     want_g = 2.0 * a.T @ (a @ pad[: g.num_nodes])
     assert np.allclose(np.asarray(gx)[: g.num_nodes], want_g, atol=1e-4)
+
+
+def test_row_parallel_pairing_with_2d_spmm():
+    """Megatron pairing on the 2-D mesh: sharded_spmm leaves features
+    sharded on the model axis; row_parallel_dense contracts that axis away
+    with one psum. End to end must equal dense reference A@X@W + b."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+    from neuralgraphpde.parallel import row_parallel_dense
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("graph", "model"))
+
+    g = rand_graph(80, 480, seed=31)
+    pg = partition_graph(g, 4, halo=True)
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(80, 8)).astype(np.float32)
+    w = rng.normal(size=(8, 12)).astype(np.float32)
+    b = rng.normal(size=(1, 12)).astype(np.float32)
+
+    a = np.zeros((80, 80), np.float32)
+    np.add.at(a, (np.asarray(g.receivers), np.asarray(g.senders)), 1.0)
+    want = a @ x @ w + b
+
+    xp = jax.device_put(pad_node_features(x, pg),
+                        NamedSharding(mesh2, P("graph", "model")))
+    agg = sharded_spmm(pg, xp, mesh2, feature_axis="model")
+    y = row_parallel_dense(agg, jnp.asarray(w), jnp.asarray(b), mesh=mesh2,
+                           axis_name="model", x_specs=P("graph", "model"))
+    assert y.sharding.spec == P("graph", None)
+    assert np.allclose(np.asarray(y)[: g.num_nodes], want, atol=1e-4)
