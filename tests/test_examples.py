@@ -59,3 +59,26 @@ print('max f64 error:', err)
 """
     out = run_example(["-c", code])
     assert "max f64 error" in out
+
+
+@pytest.mark.slow
+def test_scale_products_pipeline_small():
+    """Config-5 scale pipeline (examples/scale_products.py) end to end at a
+    reduced size: COO generation, grouped tiled-CSR build, 4-way halo
+    partition. The full-size run (124M edges) is gated behind NGPDE_SCALE=1
+    (numbers recorded in docs/tpu_design.md)."""
+    out = run_example(["examples/scale_products.py", "--cpu",
+                       "--nodes", "20000", "--edges", "200000",
+                       "--parts", "4", "--slab", "50000",
+                       "--stage", "build,tiling,partition"], timeout=300)
+    assert "partition" in out and "grouping" in out
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("NGPDE_SCALE"),
+                    reason="full 124M-edge scale run (~10 min, ~17 GB RSS); "
+                           "set NGPDE_SCALE=1")
+def test_scale_products_full():
+    out = run_example(["examples/scale_products.py", "--cpu",
+                       "--stage", "build,tiling,partition"], timeout=1800)
+    assert "partition" in out
