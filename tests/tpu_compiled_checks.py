@@ -19,7 +19,7 @@ import subprocess
 import sys
 import time
 
-SECTIONS = ("tiled", "segmax", "banded", "gno")
+SECTIONS = ("tiled", "segmax", "banded", "gno", "fusedmlp", "dia")
 
 
 def check(name, got, want, tol, failures):
@@ -170,6 +170,110 @@ def run_section(section: str) -> int:
         y_gno = jax.jit(lambda a, hh: _fused_gno_fwd(
             tcsr2, s2_d, a, hh, wl, bl)[:n2])(act, h)
         check("fused_gno_fwd", y_gno, gno_ref(act, h), 1e-4, failures)
+
+        # fused Pallas backward (r3): param/activation grads vs XLA
+        from neuralgraphpde.kernels.gno_kernels import fused_gno_aggregate
+
+        def gno_loss(a, hh, w3, b3):
+            return jnp.sum(fused_gno_aggregate(a, hh, w3, b3, tcsr2,
+                                               s2_d)[:n2] ** 2)
+
+        def gno_loss_ref(a, hh, w3, b3):
+            kmat = (jnp.dot(a, w3.transpose(1, 0, 2).reshape(hid, -1))
+                    + b3[:, 0, :].reshape(1, -1)).reshape(e2, ci, co)
+            hj = jnp.take(hh, s2_d, axis=0)
+            m = jnp.einsum("eio,ei->eo", kmat, hj)
+            y = jax.ops.segment_sum(m, r2_d, num_segments=n2,
+                                    indices_are_sorted=True)
+            return jnp.sum(y ** 2)
+
+        gp = jax.jit(jax.grad(gno_loss, argnums=(0, 1, 2, 3)))(act, h, wl,
+                                                               bl)
+        gr = jax.jit(jax.grad(gno_loss_ref, argnums=(0, 1, 2, 3)))(act, h,
+                                                                   wl, bl)
+        for nm, a_, b_ in zip(("dact", "dh", "dwl", "dbl"), gp, gr):
+            check(f"fused_gno_bwd_{nm}", a_, b_, 1e-3, failures)
+
+    elif section == "fusedmlp":
+        from neuralgraphpde.kernels.fused_mlp_kernels import (
+            fused_mlp_aggregate,
+        )
+
+        n3, e3, fin = 2048, 16384, 8
+        widths = (fin, 64, 64, 16)
+        acts = ("tanh", "tanh", None)
+        r3 = np.sort(rng.integers(0, n3, e3).astype(np.int64))
+        tcsr3 = build_tiled_csr(np.arange(e3), r3, n3)
+        r3_d = jnp.asarray(r3.astype(np.int32))
+        feats = jnp.asarray(rng.normal(size=(e3, fin)).astype(np.float32))
+        ws = tuple(jnp.asarray(
+            (rng.normal(size=(a, b)) / np.sqrt(a)).astype(np.float32))
+            for a, b in zip(widths, widths[1:]))
+        bs = tuple(jnp.asarray(rng.normal(size=(1, b)).astype(np.float32)
+                               * 0.1) for b in widths[1:])
+
+        def mlp_ref(f):
+            h = f
+            for w, b, a in zip(ws, bs, acts):
+                h = jnp.dot(h, w) + b
+                h = jnp.tanh(h) if a == "tanh" else h
+            return h
+
+        y_f = jax.jit(lambda f: fused_mlp_aggregate(
+            acts, f, ws, bs, tcsr3)[:n3])(feats)
+        y_r = jax.jit(lambda f: jax.ops.segment_sum(
+            mlp_ref(f), r3_d, num_segments=n3,
+            indices_are_sorted=True))(feats)
+        check("fused_mlp_fwd", y_f, y_r, 1e-3, failures)
+
+        def loss_f(f, ws, bs):
+            return jnp.sum(fused_mlp_aggregate(acts, f, ws, bs,
+                                               tcsr3)[:n3] ** 2)
+
+        def loss_r(f, ws, bs):
+            h = f
+            for w, b, a in zip(ws, bs, acts):
+                h = jnp.dot(h, w) + b
+                h = jnp.tanh(h) if a == "tanh" else h
+            y = jax.ops.segment_sum(h, r3_d, num_segments=n3,
+                                    indices_are_sorted=True)
+            return jnp.sum(y ** 2)
+
+        gp = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(feats, ws, bs)
+        gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(feats, ws, bs)
+        for nm, a_, b_ in zip(("dfeats", "dws", "dbs"), gp, gr):
+            for la, lb in zip(jax.tree_util.tree_leaves(a_),
+                              jax.tree_util.tree_leaves(b_)):
+                check(f"fused_mlp_bwd_{nm}", la, lb, 2e-3, failures)
+
+    elif section == "dia":
+        from neuralgraphpde.graph.builders import grid_graph_2d
+        from neuralgraphpde.kernels.dia_kernels import dia_spmm_pallas
+        from neuralgraphpde.ops.dia import build_dia, transpose_dia
+
+        F = 128
+        g = grid_graph_2d(512, 512, diagonals=True)
+        sg, rg = np.asarray(g.senders), np.asarray(g.receivers)
+        ng = g.num_nodes
+        dm = build_dia(sg, rg, ng)
+        dm_rev = transpose_dia(dm)
+        xg = jnp.asarray(rng.normal(size=(ng, F)).astype(np.float32))
+        sg_d, rg_d = g.senders, g.receivers
+
+        @jax.jit
+        def xla_mesh(v):
+            return jax.ops.segment_sum(
+                jnp.take(v, sg_d, axis=0), rg_d, num_segments=ng,
+                indices_are_sorted=True)
+
+        y_dia = jax.jit(dia_spmm_pallas)(xg, dm, dm_rev)
+        check("dia_fwd", y_dia, xla_mesh(xg), 1e-4, failures)
+
+        g_dia = jax.jit(jax.grad(lambda v: jnp.sum(
+            dia_spmm_pallas(v, dm, dm_rev) ** 2)))(xg)
+        g_ref = jax.jit(jax.grad(lambda v: jnp.sum(
+            xla_mesh(v) ** 2)))(xg)
+        check("dia_grad", g_dia, g_ref, 1e-3, failures)
 
     else:
         raise ValueError(section)
