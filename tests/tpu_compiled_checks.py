@@ -195,6 +195,12 @@ def run_section(section: str) -> int:
             check(f"fused_gno_bwd_{nm}", a_, b_, 1e-3, failures)
 
     elif section == "fusedmlp":
+        # STATUS (r3, tunneled v5e): dia + gno + banded + tiled sections
+        # complete in minutes; THIS section exceeded a 10-min timeout twice
+        # over the relay (suspect: compile latency of the 2n+1-output
+        # backward pallas_call through the relay, the known compile-hang
+        # mode). Interpret-mode numerics pass (see commit); re-run on a
+        # direct-attached chip / after shrinking n3 to bisect.
         from neuralgraphpde.kernels.fused_mlp_kernels import (
             fused_mlp_aggregate,
         )
