@@ -62,6 +62,56 @@ class DiaMatrix:
         return cls(children[0], *aux)
 
 
+@dataclasses.dataclass(frozen=True)
+class DiaPlan:
+    """Decision summary from one ``sender − receiver`` offsets pass: which
+    DIA representation (full / hybrid / none) ``precompute_bsr`` should
+    build — so at most ONE O(E) value-fill + padded array is constructed
+    (advisor r3: the old flow always built both)."""
+
+    full_ok: bool  # few enough distinct offsets for full DIA
+    full_bw: int  # bandwidth of full DIA (max |offset|)
+    hybrid_ok: bool  # a kept-diagonals + small-remainder split exists
+    hybrid_bw: int  # bandwidth of the kept diagonals
+
+
+def plan_dia(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    max_diags: int = 32,
+    bw_limit: int = 8192,
+    min_fill: float = 0.25,
+    rem_frac: float = 0.05,
+) -> Optional[DiaPlan]:
+    """Single ``np.unique`` pass over edge offsets → build decision. The
+    gates mirror ``build_dia`` (count ≤ max_diags) and ``build_dia_hybrid``
+    (kept diagonals: |offset| ≤ bw_limit, fill ≥ min_fill·N, top-max_diags
+    by population; remainder 0 < rem ≤ rem_frac·E)."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    E = senders.shape[0]
+    if E == 0:
+        return None
+    d = senders - receivers
+    offsets, counts = np.unique(d, return_counts=True)
+    full_ok = len(offsets) <= max_diags
+    full_bw = int(np.abs(offsets).max())
+    good = (np.abs(offsets) <= bw_limit) & (counts >= min_fill * num_nodes)
+    if good.sum() > max_diags:
+        order = np.argsort(np.where(good, counts, -1))[::-1][:max_diags]
+        good = np.zeros_like(good)
+        good[order] = True
+    hybrid_ok, hybrid_bw = False, 0
+    if good.any():
+        n_rem = int(counts[~good].sum())
+        hybrid_ok = 0 < n_rem <= rem_frac * E
+        hybrid_bw = int(np.abs(offsets[good]).max())
+    return DiaPlan(full_ok=full_ok, full_bw=full_bw,
+                   hybrid_ok=hybrid_ok, hybrid_bw=hybrid_bw)
+
+
 def build_dia(
     senders: np.ndarray,
     receivers: np.ndarray,
