@@ -82,30 +82,21 @@ def _node_degree(g, dtype):
     return _degree(g, dtype, direction="in")
 
 
-def _try_fused_phi(phi, feats, phi_ps, g, aggr):
-    """Fully-fused ``aggr_{e→i} ϕ(feats_e)`` through the Pallas edge-MLP
-    kernel (kernels/fused_mlp_kernels.py). Engages when the graph carries a
-    precomputed edge tiling, ϕ is a Dense stack with static activations, and
-    ``aggr`` is sum/mean — else returns None and the caller takes the exact
-    XLA path. When ϕ ends in a linear Dense the reduce happens at the
-    penultimate width and the last layer is applied post-reduce
-    (``Σ(h@W+b) = (Σh)@W + deg·b`` — E/N× fewer FLOPs on that layer)."""
-    if "tcsr_edges" not in g.cache:
-        return None
-    from ..ops.spmm import _pallas_available, get_spmm_mode
-
-    mode = get_spmm_mode()
-    if not (mode == "pallas" or (mode == "auto" and _pallas_available())):
-        return None
-    red = canonical_reduction(aggr)
-    if red not in ("sum", "mean"):
+def fused_phi_plan(phi, phi_ps, aggr):
+    """Staging plan for the fused edge-MLP kernel: ``(acts, ws, bs, post)``
+    when ϕ is a Dense stack with static (kernel-representable) activations
+    and ``aggr`` reduces by sum/mean — else None. When ϕ ends in a linear
+    Dense, that layer is split off as ``post`` and applied after the reduce
+    (``Σ(h@W+b) = (Σh)@W + deg·b`` — E/N× fewer FLOPs on it). Shared by the
+    single-device path (``_try_fused_phi``) and the per-partition path
+    inside shard_map (``parallel.halo.sharded_propagate``)."""
+    if canonical_reduction(aggr) not in ("sum", "mean"):
         return None
     split = _split_dense_chain(phi)
     if split is None:
         return None
     layers, named = split
-    from ..kernels.fused_mlp_kernels import (fused_mlp_aggregate,
-                                             supported_activation)
+    from ..kernels.fused_mlp_kernels import supported_activation
 
     if not all(supported_activation(l.activation) for l in layers):
         return None
@@ -122,9 +113,13 @@ def _try_fused_phi(phi, feats, phi_ps, g, aggr):
     bs = tuple(
         p["bias"] if "bias" in p else jnp.zeros((1, w.shape[1]), w.dtype)
         for p, w in zip(ps_list, ws))
-    reduced = fused_mlp_aggregate(acts, feats, ws, bs,
-                                  g.cache["tcsr_edges"])[: g.num_nodes]
-    deg = _node_degree(g, reduced.dtype)
+    return acts, ws, bs, post
+
+
+def fused_phi_post(reduced, post, deg, red):
+    """Post-reduce epilogue of the fused ϕ path: mean normalization and the
+    split-off linear layer, honoring the empty-receiver conventions of
+    ``segment_reduce`` (empty mean rows stay 0, sum rows get ``deg·b``)."""
     if post is None:
         return (reduced / jnp.maximum(deg, 1.0)[:, None]
                 if red == "mean" else reduced)
@@ -139,6 +134,31 @@ def _try_fused_phi(phi, feats, phi_ps, g, aggr):
     if "bias" in post:
         m = m + deg[:, None] * post["bias"]
     return m
+
+
+def _try_fused_phi(phi, feats, phi_ps, g, aggr):
+    """Fully-fused ``aggr_{e→i} ϕ(feats_e)`` through the Pallas edge-MLP
+    kernel (kernels/fused_mlp_kernels.py). Engages when the graph carries a
+    precomputed edge tiling, ϕ is a Dense stack with static activations, and
+    ``aggr`` is sum/mean — else returns None and the caller takes the exact
+    XLA path."""
+    if "tcsr_edges" not in g.cache:
+        return None
+    from ..ops.spmm import _pallas_available, get_spmm_mode
+
+    mode = get_spmm_mode()
+    if not (mode == "pallas" or (mode == "auto" and _pallas_available())):
+        return None
+    plan = fused_phi_plan(phi, phi_ps, aggr)
+    if plan is None:
+        return None
+    acts, ws, bs, post = plan
+    from ..kernels.fused_mlp_kernels import fused_mlp_aggregate
+
+    reduced = fused_mlp_aggregate(acts, feats, ws, bs,
+                                  g.cache["tcsr_edges"])[: g.num_nodes]
+    deg = _node_degree(g, reduced.dtype)
+    return fused_phi_post(reduced, post, deg, canonical_reduction(aggr))
 
 
 def _phi_aggregate(phi, feats, phi_ps, phi_st, g, aggr):

@@ -435,6 +435,7 @@ def sharded_propagate(
     *,
     aggr: str = "sum",
     axis_name: str = GRAPH_AXIS,
+    fused_phi=None,
 ) -> jax.Array:
     """Distributed custom-message propagate over an edge-partitioned graph.
 
@@ -444,9 +445,30 @@ def sharded_propagate(
     masked and segment-reduced onto owned receivers. Requires a ``halo=True``
     partition. The distributed generalization of ``ops.propagate`` for the
     custom-message layers (ExplicitEdgeConv/VMHConv/MPPDEConv/GNOConv).
+
+    ``fused_phi=(phi, phi_ps, feats_fn)`` routes the message MLP through the
+    fused edge-MLP Pallas kernel PER PARTITION (the multi-chip analog of the
+    single-device ``nn.conv._try_fused_phi`` path): ``feats_fn(xi, xj, e)``
+    builds the per-edge input features in XLA and ϕ runs entirely in VMEM
+    inside shard_map. Engages when the partition carries edge tilings
+    (``partition_graph(tiled=True)``), ϕ is a Dense stack with static
+    activations, and ``aggr`` is sum/mean — else this argument is ignored
+    and ``message`` takes the exact path.
     """
     if pg.senders_halo is None:
         raise ValueError("sharded_propagate requires partition_graph(halo=True)")
+    if (fused_phi is not None and pg.etile_senders is not None
+            and aggr in ("sum", "mean")):
+        from ..nn.conv import fused_phi_plan
+        from ..ops.spmm import _pallas_available, get_spmm_mode
+
+        mode = get_spmm_mode()
+        if mode == "pallas" or (mode == "auto" and _pallas_available()):
+            phi, phi_ps, feats_fn = fused_phi
+            plan = fused_phi_plan(phi, phi_ps, aggr)
+            if plan is not None:
+                return _sharded_propagate_fused(
+                    pg, feats_fn, plan, x, mesh, aggr, axis_name)
     if aggr not in ("sum", "mean", "max", "min", "prod"):
         raise ValueError(
             "distributed aggr supports 'sum'/'mean'/'max'/'min'/'prod'")
@@ -495,6 +517,59 @@ def sharded_propagate(
     )
     return f(x, pg.senders_halo, pg.receivers_local, pg.edge_mask,
              pg.send_idx, pg.in_degree, *[pg.edata[k] for k in ekeys])
+
+
+def _sharded_propagate_fused(pg: PartitionedGraph, feats_fn, plan,
+                             x: jax.Array, mesh: Mesh, aggr: str,
+                             axis_name: str) -> jax.Array:
+    """Per-partition fused edge-MLP propagate: halo exchange → XLA feature
+    concat → ϕ + segment-reduce in ONE Pallas program per edge chunk
+    (kernels/fused_mlp_kernels.py, fwd AND bwd fused), keeping single-chip
+    kernel throughput for the VMH/MPPDE RHS at scale (r3 VERDICT item 4).
+    Padding edge slots carry tiling weight 0, so no mask pass is needed; the
+    post epilogue (mean normalization / split-off linear layer) uses the
+    partition's true in-degrees, zero on padded nodes."""
+    from ..kernels.fused_mlp_kernels import fused_mlp_aggregate
+    from ..kernels.segment_kernels import TiledCSR
+    from ..nn.conv import fused_phi_post
+
+    acts, ws, bs, post = plan
+    has_post = post is not None
+    npp = pg.nodes_per_part
+    tn, te = pg.tile_tn, pg.tile_te
+    num_tiles = -(-npp // tn)
+    ekeys = list(pg.edata)
+
+    def body(x_block, senders_h, recv_l, send_idx, deg, es, er, ew, ec,
+             ws_, bs_, post_, *eblocks):
+        table = _halo_table(x_block, send_idx, axis_name)
+        xj = jnp.take(table, senders_h[0], axis=0)
+        xi = jnp.take(x_block, recv_l[0], axis=0)
+        e = {k: b[0] for k, b in zip(ekeys, eblocks)}
+        feats = feats_fn(xi, xj, e)
+        tcsr = TiledCSR(senders=es[0], recv_local=er[0], wmask=ew[0],
+                        chunk_tile=ec[0], num_tiles=num_tiles, tn=tn, te=te,
+                        num_nodes=npp)
+        reduced = fused_mlp_aggregate(acts, feats, ws_, bs_, tcsr)[:npp]
+        return fused_phi_post(reduced, post_ if has_post else None,
+                              deg[0], aggr)
+
+    post_ps = post if has_post else {}
+    espec = tuple(P(axis_name, None, None) for _ in ekeys)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name, None),
+                  P(axis_name, None, None), P(axis_name, None),
+                  P(axis_name, None, None), P(axis_name, None, None),
+                  P(axis_name, None, None), P(axis_name, None),
+                  P(), P(), P()) + espec,
+        out_specs=P(axis_name, None),
+        check_vma=False,  # pallas_call inside the body can't declare vma
+    )
+    return f(x, pg.senders_halo, pg.receivers_local, pg.send_idx,
+             pg.in_degree, pg.etile_senders, pg.etile_recv, pg.etile_wmask,
+             pg.etile_chunk, ws, bs, post_ps,
+             *[pg.edata[k] for k in ekeys])
 
 
 def shard_node_features(x, pg: PartitionedGraph, mesh: Mesh,

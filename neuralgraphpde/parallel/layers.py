@@ -95,15 +95,21 @@ class ShardedVMHConv(Layer):
         x_aug = jnp.concatenate([x, pos.astype(x.dtype)], axis=-1)
         cell = {"phi": st["phi"]}
 
-        def message(xi, xj, e):
+        def edge_feats(xi, xj, e):
             hi, posi = xi[:, :fh], xi[:, fh:]
             hj, posj = xj[:, :fh], xj[:, fh:]
-            feats = jnp.concatenate([hi, hj - hi, posj - posi], axis=-1)
-            m, cell["phi"] = self.phi(feats, ps["phi"], cell["phi"])
+            return jnp.concatenate([hi, hj - hi, posj - posi], axis=-1)
+
+        def message(xi, xj, e):
+            m, cell["phi"] = self.phi(edge_feats(xi, xj, e), ps["phi"],
+                                      cell["phi"])
             return m
 
+        # fused_phi: ϕ rides the per-partition fused edge-MLP kernel when
+        # the partition carries edge tilings (else `message` is the path)
         m = sharded_propagate(pg, message, x_aug, self.mesh, aggr=self.aggr,
-                              axis_name=self.axis_name)
+                              axis_name=self.axis_name,
+                              fused_phi=(self.phi, ps["phi"], edge_feats))
         y, st_gamma = self.gamma(
             jnp.concatenate([x, m], axis=-1), ps["gamma"], st["gamma"])
         return y, {**st, "phi": cell["phi"], "gamma": st_gamma}
@@ -161,16 +167,22 @@ class ShardedMPPDEConv(Layer):
             theta = jnp.zeros((1, 0), x.dtype)
         cell = {"phi": st["phi"]}
 
-        def message(xi, xj, e):
+        def edge_feats(xi, xj, e):
             hi, hj = xi[:, :fh], xj[:, :fh]
             di, dj = xi[:, fh:], xj[:, fh:]
             th = jnp.broadcast_to(theta, (hi.shape[0], theta.shape[1]))
-            feats = jnp.concatenate([hi, hj, di - dj, th], axis=-1)
-            m, cell["phi"] = self.phi(feats, ps["phi"], cell["phi"])
+            return jnp.concatenate([hi, hj, di - dj, th], axis=-1)
+
+        def message(xi, xj, e):
+            m, cell["phi"] = self.phi(edge_feats(xi, xj, e), ps["phi"],
+                                      cell["phi"])
             return m
 
+        # θ is replicated gdata, so its per-edge broadcast is free — the
+        # fused kernel sees it as ordinary trailing feature columns
         m = sharded_propagate(pg, message, x_aug, self.mesh, aggr=self.aggr,
-                              axis_name=self.axis_name)
+                              axis_name=self.axis_name,
+                              fused_phi=(self.phi, ps["phi"], edge_feats))
         th_n = jnp.broadcast_to(theta, (x.shape[0], theta.shape[1]))
         y, st_psi = self.psi(
             jnp.concatenate([x, m, th_n], axis=-1), ps["psi"], st["psi"])

@@ -96,6 +96,15 @@ class PartitionedGraph:
     tile_chunk: Optional[jax.Array] = None  # (P, C)
     tile_tn: int = 0
     tile_te: int = 0
+    # Per-partition EDGE-index tilings (local edge-slot ids instead of
+    # halo-table node ids): lets shard_map bodies run the fused edge-MLP
+    # Pallas kernel (kernels/fused_mlp_kernels.py) on any per-edge message
+    # tensor — the distributed analog of ``cache['tcsr_edges']``. Built by
+    # partition_graph(tiled=True) alongside the node tilings.
+    etile_senders: Optional[jax.Array] = None  # (P, C_e, TE) edge-slot ids
+    etile_recv: Optional[jax.Array] = None  # (P, C_e, TE)
+    etile_wmask: Optional[jax.Array] = None  # (P, C_e, TE)
+    etile_chunk: Optional[jax.Array] = None  # (P, C_e)
 
     @property
     def padded_nodes(self) -> int:
@@ -110,7 +119,8 @@ class PartitionedGraph:
                     self.dia_values, self.dia_values_rev,
                     self.edata, self.ndata, self.gdata,
                     self.tile_senders, self.tile_recv, self.tile_wmask,
-                    self.tile_chunk)
+                    self.tile_chunk, self.etile_senders, self.etile_recv,
+                    self.etile_wmask, self.etile_chunk)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
                self.num_edges, self.halo_size, self.tile_tn, self.tile_te,
                self.band_offsets, self.band_tb, self.dia_offsets,
@@ -123,7 +133,8 @@ class PartitionedGraph:
          send_idx, senders_halo, senders_int, recv_int, mask_int,
          senders_bnd, recv_bnd, mask_bnd, band_data, band_data_rev,
          dia_values, dia_values_rev, edata, ndata, gdata, tile_senders,
-         tile_recv, tile_wmask, tile_chunk) = children
+         tile_recv, tile_wmask, tile_chunk, etile_senders, etile_recv,
+         etile_wmask, etile_chunk) = children
         P, npp, n, e, h, ttn, tte, boffs, btb, doffs, ng = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
@@ -131,7 +142,8 @@ class PartitionedGraph:
                    mask_bnd, band_data, band_data_rev, boffs, btb,
                    dia_values, dia_values_rev, doffs,
                    dict(edata), dict(ndata), dict(gdata), ng, tile_senders,
-                   tile_recv, tile_wmask, tile_chunk, ttn, tte)
+                   tile_recv, tile_wmask, tile_chunk, ttn, tte,
+                   etile_senders, etile_recv, etile_wmask, etile_chunk)
 
 
 def partition_graph(
@@ -322,6 +334,33 @@ def partition_graph(
             tile_senders=jnp.asarray(ts_), tile_recv=jnp.asarray(tr_),
             tile_wmask=jnp.asarray(tw_), tile_chunk=jnp.asarray(tc_),
             tile_tn=tn, tile_te=te,
+        )
+
+        # Edge-index tilings (sender = local edge slot): the fused edge-MLP
+        # kernel reduces arbitrary per-edge message tensors per partition
+        # (distributed tcsr_edges). Same (C_e, TE) across partitions so the
+        # arrays shard over the mesh axis.
+        eparts = []
+        for q in range(P):
+            n_q = int(counts[q])
+            eparts.append(build_tiled_csr(
+                np.arange(max(n_q, 1), dtype=np.int64),
+                recv_l[q, :max(n_q, 1)], npp, tn=tn, te=te,
+                edge_weight=emask[q, :max(n_q, 1)]))
+        ce_max = max(int(t.chunk_tile.shape[0]) for t in eparts)
+        es_ = np.zeros((P, ce_max, te), np.int32)
+        er_ = np.zeros((P, ce_max, te), np.int32)
+        ew_ = np.zeros((P, ce_max, te), np.float32)
+        ec_ = np.full((P, ce_max), num_tiles - 1, np.int32)
+        for q, t in enumerate(eparts):
+            C_q = int(t.chunk_tile.shape[0])
+            es_[q, :C_q] = np.asarray(t.senders)
+            er_[q, :C_q] = np.asarray(t.recv_local)
+            ew_[q, :C_q] = np.asarray(t.wmask)
+            ec_[q, :C_q] = np.asarray(t.chunk_tile)
+        tile_kw.update(
+            etile_senders=jnp.asarray(es_), etile_recv=jnp.asarray(er_),
+            etile_wmask=jnp.asarray(ew_), etile_chunk=jnp.asarray(ec_),
         )
 
     split_kw = {}
