@@ -58,6 +58,12 @@ class Config:
     # its per-leaf step sizes ARE the optimizer's memory)
     ckpt_path: str = ""
     ckpt_every: int = 5
+    # wall-clock watchdog (train.StepHeartbeat): if no microbatch completes
+    # within this many seconds, abort (exit 86) so a supervisor restarts
+    # from --ckpt-path instead of hanging on a stalled relay execute
+    # (the r3 run lost ~30 min to one). 0 = off. Set WELL above the first
+    # compile (~100s at rtol=1e-7) since compiles happen between beats.
+    heartbeat: float = 0.0
 
 
 def main(cfg: Config):
@@ -129,10 +135,27 @@ def main(cfg: Config):
     zeros_grads = jax.tree_util.tree_map(jnp.zeros_like, ps)
 
     import pickle as _pickle
+
+    # structure-affecting config (a mismatch would silently map saved leaves
+    # onto a different model/optimizer tree); NB pickle is only safe for
+    # files this run (or a trusted peer) wrote — don't point --ckpt-path at
+    # untrusted data
+    arch_cfg = {k: getattr(cfg, k) for k in
+                ("num_sims", "num_points", "hidden", "msg_dim", "depth",
+                 "optimizer")}
     start_epoch = 1
     if cfg.ckpt_path and _os.path.exists(cfg.ckpt_path):
         with open(cfg.ckpt_path, "rb") as f:
             saved = _pickle.load(f)
+        if saved.get("arch_cfg", arch_cfg) != arch_cfg:
+            raise ValueError(
+                f"checkpoint {cfg.ckpt_path} was written with a different "
+                f"architecture config: {saved['arch_cfg']} vs {arch_cfg}")
+        want_def = jax.tree_util.tree_structure(ps)
+        got_def = jax.tree_util.tree_structure(saved["ps"])
+        if want_def != got_def:
+            raise ValueError(
+                f"checkpoint param tree mismatch: {got_def} vs {want_def}")
         ps = jax.tree_util.tree_map(jnp.asarray, saved["ps"])
         opt_state = jax.tree_util.tree_map(
             lambda ref, v: jnp.asarray(v) if hasattr(ref, "dtype") else v,
@@ -145,28 +168,38 @@ def main(cfg: Config):
         if not cfg.ckpt_path:
             return
         blob = {"ps": jax.device_get(ps),
-                "opt_state": jax.device_get(opt_state), "epoch": epoch}
+                "opt_state": jax.device_get(opt_state), "epoch": epoch,
+                "arch_cfg": arch_cfg}
         tmp = cfg.ckpt_path + ".tmp"
         with open(tmp, "wb") as f:
             _pickle.dump(blob, f)
         _os.replace(tmp, cfg.ckpt_path)
 
+    import contextlib as _contextlib
+
+    from neuralgraphpde.train import StepHeartbeat, abort_on_stall
+
+    hb = (StepHeartbeat(cfg.heartbeat, on_stall=abort_on_stall)
+          if cfg.heartbeat > 0 else _contextlib.nullcontext())
     t0 = _time.time()
-    for epoch in range(start_epoch, cfg.epochs + 1):
-        acc = zeros_grads
-        losses = []
-        for i in range(n_micro):
-            u_mb = u[i * mb:(i + 1) * mb]
-            acc, loss = micro_grad(ps, acc, u_mb, st)
-            losses.append(loss)
-        ps, opt_state = apply_step(ps, opt_state, acc)
-        if epoch % cfg.log_every == 0 or epoch == cfg.epochs:
-            mse = float(jnp.mean(jnp.stack(losses)))
-            rec = logger.log(epoch, train_mse=mse)
-            print(f"epoch {epoch:4d} | train mse {rec['train_mse']:.5f} "
-                  f"| {_time.time()-t0:.0f}s", flush=True)
-        if cfg.ckpt_every and epoch % cfg.ckpt_every == 0:
-            _save_ckpt(epoch)
+    with hb:
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            acc = zeros_grads
+            losses = []
+            for i in range(n_micro):
+                u_mb = u[i * mb:(i + 1) * mb]
+                acc, loss = micro_grad(ps, acc, u_mb, st)
+                losses.append(loss)
+            ps, opt_state = apply_step(ps, opt_state, acc)
+            mse = float(jnp.mean(jnp.stack(losses)))  # device sync
+            if cfg.heartbeat > 0:
+                hb.beat()
+            if epoch % cfg.log_every == 0 or epoch == cfg.epochs:
+                rec = logger.log(epoch, train_mse=mse)
+                print(f"epoch {epoch:4d} | train mse {rec['train_mse']:.5f} "
+                      f"| {_time.time()-t0:.0f}s", flush=True)
+            if cfg.ckpt_every and epoch % cfg.ckpt_every == 0:
+                _save_ckpt(epoch)
     _save_ckpt(cfg.epochs)
     return logger
 
@@ -187,6 +220,7 @@ if __name__ == "__main__":
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--accum", type=int, default=4)
     p.add_argument("--ckpt-path", default="")
+    p.add_argument("--heartbeat", type=float, default=0.0)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -194,4 +228,5 @@ if __name__ == "__main__":
                 epochs=args.epochs, optimizer=args.optimizer,
                 adjoint=args.adjoint, log_path=args.log_path,
                 log_every=args.log_every, checkpoint_steps=args.ckpt_steps,
-                rtol=args.rtol, accum=args.accum, ckpt_path=args.ckpt_path))
+                rtol=args.rtol, accum=args.accum, ckpt_path=args.ckpt_path,
+                heartbeat=args.heartbeat))

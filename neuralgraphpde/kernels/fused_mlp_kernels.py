@@ -30,6 +30,7 @@ the per-edge input-gradient chunk write and the ``g_out`` node-tile reads.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -237,11 +238,15 @@ def _fused_mlp_bwd_pallas(acts, tiling: TiledCSR, feats: jax.Array,
     out_shapes = ([jax.ShapeDtypeStruct((C, te, fin), jnp.float32)]
                   + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
                   + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
+    # NB: bind the rank eagerly (nd=...) — a late-bound `w.shape` in the
+    # index-map lambda would evaluate the LAST loop iterate at call time
     out_specs = ([pl.BlockSpec((1, te, fin), lambda c, ct: (c, 0, 0))]
-                 + [pl.BlockSpec(w.shape, lambda c, ct: tuple(
-                     0 for _ in w.shape)) for w in ws]
-                 + [pl.BlockSpec(b.shape, lambda c, ct: tuple(
-                     0 for _ in b.shape)) for b in bs])
+                 + [pl.BlockSpec(w.shape,
+                                 lambda c, ct, nd=w.ndim: (0,) * nd)
+                    for w in ws]
+                 + [pl.BlockSpec(b.shape,
+                                 lambda c, ct, nd=b.ndim: (0,) * nd)
+                    for b in bs])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -285,6 +290,11 @@ def _fwd(acts, feats, ws, bs, tiling):
 
 
 def _bwd(acts, res, g_out):
+    # escape hatch while the compiled (non-interpret) fused backward is
+    # being qualified per-hardware: NGPDE_FUSED_BWD=xla switches every
+    # fused-MLP VJP to the XLA recompute backward at trace time
+    if os.environ.get("NGPDE_FUSED_BWD", "pallas").lower() == "xla":
+        return _bwd_xla(acts, res, g_out)
     feats, ws, bs, tiling = res
     dfeats, dws, dbs = _fused_mlp_bwd_pallas(acts, tiling, feats, ws, bs,
                                              g_out)

@@ -221,6 +221,18 @@ class GCNConv(AbstractGNNLayer):
     The aggregation is the SpMM fast path; attach acceleration structure with
     ``ops.precompute`` (dense adjacency / CSR) to the *self-looped* graph to
     keep the hot loop off the scatter path.
+
+    Fully-fused RHS gate: on graphs carrying normalized banded/DIA structure
+    (``precompute(gcn_fused=True)``), the whole RHS (normalize → aggregate →
+    matmul → bias → activation) runs as ONE Pallas pass when ALL of:
+    no runtime/stored edge weights, 2-D input, the activation is a
+    kernel-representable STATIC name (``kernels.banded_kernels.
+    epilogue_supported`` — a Python callable falls back), the Pallas backend
+    is available, and the kernel-side feature width — ``out_chs`` when
+    ``out_chs < in_chs`` (pre-multiply), else ``in_chs`` — is ≤ 512 (VMEM
+    window budget of the stencil/banded kernels). Any unmet condition
+    silently takes the numerically-identical exact path
+    (tests/test_banded_rhs.py pins the F=512/513 boundary).
     """
 
     in_chs: int
@@ -308,8 +320,13 @@ class GCNConv(AbstractGNNLayer):
             from ..ops.spmm import _pallas_available, get_spmm_mode
 
             mode = get_spmm_mode()
+            # width the KERNEL sees: with out<in the pre-multiplied x@w
+            # (out_chs wide) streams through the kernel, so a 1024→256
+            # layer still fuses; ≤512 is the VMEM x-window budget
+            kernel_width = (self.out_chs if self.out_chs < self.in_chs
+                            else x.shape[1])
             if (epilogue_supported(self.activation)
-                    and x.shape[1] <= 512
+                    and kernel_width <= 512
                     and (mode in ("pallas", "bsr")
                          or (mode == "auto" and _pallas_available()))):
                 if "dia_norm" in g.cache:

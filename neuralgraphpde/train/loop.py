@@ -111,6 +111,71 @@ class MetricsLogger:
         return rec
 
 
+class StepHeartbeat:
+    """Wall-clock watchdog around the jitted train step (SURVEY §5.3
+    failure-detection plan). The training loop calls ``beat()`` at every
+    step boundary (after the loss sync, so a beat proves the DEVICE made
+    progress); a daemon thread fires ``on_stall(gap_seconds)`` whenever no
+    beat lands within ``timeout_s`` — e.g. a hung device execute or a
+    stalled TPU-tunnel relay (the r3 VMH run lost 30+ min to one). The
+    default action prints a diagnostic; pass ``on_stall=abort_on_stall`` to
+    crash the process so a supervisor (examples: artifacts/run_vmh_r4.sh)
+    restarts it from the latest checkpoint."""
+
+    def __init__(self, timeout_s: float, on_stall: Optional[Callable] = None,
+                 poll_s: Optional[float] = None):
+        import threading
+
+        self.timeout_s = float(timeout_s)
+        self.on_stall = on_stall or self._default_on_stall
+        self._poll_s = poll_s if poll_s is not None else \
+            max(self.timeout_s / 4, 0.01)
+        self._last = time.time()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.stalls = 0
+
+    @staticmethod
+    def _default_on_stall(gap: float):
+        import sys
+
+        print(f"[heartbeat] no step boundary for {gap:.1f}s — device "
+              "execute may be hung", file=sys.stderr, flush=True)
+
+    def beat(self):
+        self._last = time.time()
+
+    def _run(self):
+        while not self._stop.wait(self._poll_s):
+            gap = time.time() - self._last
+            if gap > self.timeout_s:
+                self.stalls += 1
+                self.on_stall(gap)
+                self._last = time.time()  # re-arm
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        return False
+
+
+def abort_on_stall(gap: float):
+    """``StepHeartbeat`` action for supervised runs: crash NOW (exit 86) so
+    the supervisor restarts from the latest checkpoint instead of the run
+    hanging until an external watchdog loses hours."""
+    import os
+    import sys
+
+    print(f"[heartbeat] aborting: no step boundary for {gap:.1f}s",
+          file=sys.stderr, flush=True)
+    sys.stderr.flush()
+    os._exit(86)
+
+
 def fit(
     loss_fn: Callable,
     params: Any,
@@ -126,6 +191,8 @@ def fit(
     resume: bool = False,
     grad_clip: Optional[float] = None,
     nan_guard: bool = False,
+    heartbeat_timeout: Optional[float] = None,
+    on_stall: Optional[Callable] = None,
 ) -> TrainState:
     """Generic fit: ``batches`` is an iterable (re-iterated per epoch) of
     argument tuples passed to ``loss_fn(params, *batch)``.
@@ -133,12 +200,21 @@ def fit(
     With ``checkpoint_dir`` set, ``(params, opt_state, step)`` are persisted
     every ``checkpoint_every`` epochs (and at the end); ``resume=True``
     restarts from the latest checkpoint — the standard restart-from-checkpoint
-    failure-recovery scheme (SURVEY §5.3: fixed mesh, no elasticity).
+    failure-recovery scheme (SURVEY §5.3: fixed mesh, no elasticity). Resume
+    is EXACT: the restored step count skips the already-trained leading
+    batches, so a killed-and-resumed run takes the same optimizer path as an
+    uninterrupted one (tests/test_train.py fault-injection case).
+
+    ``heartbeat_timeout`` arms a :class:`StepHeartbeat` wall-clock watchdog
+    for the duration of the fit (``on_stall`` as its action) — step
+    boundaries beat it after the loss sync, so it detects hung device
+    executes, not just slow Python.
 
     ``grad_clip`` chains global-norm clipping in front of the optimizer;
     ``nan_guard=True`` raises ``FloatingPointError`` on a non-finite loss
     (the batch index is in the message) instead of silently training on.
     """
+    import contextlib
     import math
 
     if grad_clip is not None:
@@ -157,30 +233,44 @@ def fit(
             step = int(payload["step"])
     train_step = make_train_step(loss_fn, optimizer, donate=False)
     logger = logger or MetricsLogger()
-    for epoch in range(epochs):
-        loss_sum, n_batches = 0.0, 0
-        for batch in batches:
-            params, opt_state, loss, _ = train_step(params, opt_state, *batch)
-            step += 1
-            n_batches += 1
-            loss_f = float(loss)
-            if nan_guard and not math.isfinite(loss_f):
-                raise FloatingPointError(
-                    f"non-finite loss {loss_f} at epoch {epoch + 1}, "
-                    f"batch {n_batches} (step {step})")
-            loss_sum += loss_f
-        if n_batches == 0:
-            raise ValueError("fit(): `batches` yielded no batches")
-        if (epoch + 1) % log_every == 0:
-            metrics = {"loss": loss_sum / n_batches, "epoch": epoch + 1}
-            if eval_fn is not None:
-                metrics.update(eval_fn(params))
-            logger.log(step, **metrics)
-        if checkpoint_dir and checkpoint_every and \
-                (epoch + 1) % checkpoint_every == 0:
-            from .checkpoint import save_checkpoint
+    hb = (StepHeartbeat(heartbeat_timeout, on_stall)
+          if heartbeat_timeout else contextlib.nullcontext())
+    global_idx = 0  # batches seen across epochs, INCLUDING skipped ones
+    with hb:
+        for epoch in range(epochs):
+            loss_sum, n_batches, any_yield = 0.0, 0, False
+            for batch in batches:
+                any_yield = True
+                if global_idx < step:  # trained before the resume point
+                    global_idx += 1
+                    continue
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, *batch)
+                global_idx += 1
+                step = global_idx
+                n_batches += 1
+                loss_f = float(loss)
+                if heartbeat_timeout:
+                    hb.beat()
+                if nan_guard and not math.isfinite(loss_f):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_f} at epoch {epoch + 1}, "
+                        f"batch {n_batches} (step {step})")
+                loss_sum += loss_f
+            if not any_yield:
+                raise ValueError("fit(): `batches` yielded no batches")
+            if n_batches == 0:
+                continue  # epoch fully covered by the restored checkpoint
+            if (epoch + 1) % log_every == 0:
+                metrics = {"loss": loss_sum / n_batches, "epoch": epoch + 1}
+                if eval_fn is not None:
+                    metrics.update(eval_fn(params))
+                logger.log(step, **metrics)
+            if checkpoint_dir and checkpoint_every and \
+                    (epoch + 1) % checkpoint_every == 0:
+                from .checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_dir, params, opt_state, step)
+                save_checkpoint(checkpoint_dir, params, opt_state, step)
     if checkpoint_dir:
         from .checkpoint import save_checkpoint
 

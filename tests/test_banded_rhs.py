@@ -83,6 +83,42 @@ def test_fused_rhs_no_bias():
     np.testing.assert_allclose(yb, yx, atol=2e-4, rtol=1e-3)
 
 
+def _run_counting(layer, gp, x, monkeypatch):
+    """Run the bsr mode while counting fused-RHS kernel engagements."""
+    from neuralgraphpde.kernels import banded_kernels
+
+    calls = []
+    orig = banded_kernels.banded_gcn_rhs
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(banded_kernels, "banded_gcn_rhs", spy)
+    y, _ = _run(layer, gp, x, "bsr")
+    return y, len(calls)
+
+
+@pytest.mark.parametrize("fin,fout,expect_fused", [
+    (512, 512, True),   # at the VMEM x-window budget -> fused
+    (513, 513, False),  # one past it -> silent exact path
+    (513, 8, True),     # out<in pre-multiplies to 8 wide -> still fused
+])
+def test_fused_rhs_width_gate_boundary(fin, fout, expect_fused,
+                                       monkeypatch):
+    """The ≤512 kernel-width gate (GCNConv docstring) must flip exactly at
+    the boundary, measured on the pre-multiplied width, and both sides must
+    agree with the exact XLA path."""
+    gp = _graph()
+    layer = GCNConv(fin, fout, "tanh", add_self_loops=False)
+    x = jnp.asarray(np.random.default_rng(4)
+                    .normal(size=(gp.num_nodes, fin)).astype(np.float32))
+    yx, _ = _run(layer, gp, x, "xla")
+    yb, n_fused = _run_counting(layer, gp, x, monkeypatch)
+    assert (n_fused > 0) == expect_fused
+    np.testing.assert_allclose(yb, yx, atol=5e-4, rtol=1e-3)
+
+
 def test_unsupported_activation_falls_back():
     """A callable activation can't ride the kernel epilogue — the layer must
     silently take the exact path and still agree with itself."""

@@ -37,12 +37,99 @@ def test_fit_with_checkpoint_resume():
         state = fit(quad_loss, params, adam(0.1), batches, epochs=5,
                     checkpoint_dir=d, checkpoint_every=2)
         assert state.step == 5
-        # resume continues from saved step
+        # ``epochs`` is the TOTAL plan: resume completes the remainder
+        # (5 done -> 3 more)
         state2 = fit(quad_loss, {"w": jnp.asarray([0.0])}, adam(0.1),
-                     batches, epochs=3, checkpoint_dir=d, resume=True)
+                     batches, epochs=8, checkpoint_dir=d, resume=True)
         assert state2.step == 8
         # resumed run continues descending from the restored point
         assert float(state2.params["w"][0]) > float(state.params["w"][0])
+
+
+_KILL_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import os, sys
+import jax.numpy as jnp
+from neuralgraphpde.train import adam, fit
+
+d = sys.argv[1]
+KILL_AT = int(sys.argv[2])  # global batch index at which to die
+
+def quad_loss(params, target):
+    return jnp.sum((params["w"] - target) ** 2)
+
+targets = [jnp.asarray([float(i)]) for i in range(2)]
+
+class KillerBatches:
+    def __init__(self):
+        self.count = 0
+    def __iter__(self):
+        for t in targets:
+            if self.count == KILL_AT:
+                os._exit(9)  # simulated hard failure MID-EPOCH
+            self.count += 1
+            yield (t,)
+
+fit(quad_loss, {"w": jnp.asarray([0.0])}, adam(0.1), KillerBatches(),
+    epochs=6, checkpoint_dir=d, checkpoint_every=1)
+os._exit(0)
+"""
+
+
+def test_fit_fault_injection_resume_bit_exact():
+    """SURVEY §5.3 recovery contract: a run killed mid-epoch, resumed from
+    its last epoch checkpoint, must land on BIT-IDENTICAL parameters to an
+    uninterrupted run (same optimizer path — the resume skips exactly the
+    already-trained leading batches)."""
+    import subprocess
+    import sys
+
+    targets = [jnp.asarray([float(i)]) for i in range(2)]
+    batches = [(t,) for t in targets]
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = os.path.join(d, "ckpt")
+        script = os.path.join(d, "killed_run.py")
+        with open(script, "w") as f:
+            f.write(_KILL_SCRIPT)
+        env = dict(os.environ,
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        # die at global batch 7: 3 full epochs (ckpt at step 6) + 1 batch
+        proc = subprocess.run([sys.executable, script, ckpt, "7"], env=env,
+                              capture_output=True, timeout=300)
+        assert proc.returncode == 9, proc.stderr.decode()[-2000:]
+
+        resumed = fit(quad_loss, {"w": jnp.asarray([0.0])}, adam(0.1),
+                      batches, epochs=6, checkpoint_dir=ckpt, resume=True)
+        clean = fit(quad_loss, {"w": jnp.asarray([0.0])}, adam(0.1),
+                    batches, epochs=6)
+        assert resumed.step == clean.step == 12
+        for a, b in zip(jax.tree_util.tree_leaves(resumed.params),
+                        jax.tree_util.tree_leaves(clean.params)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (a, b)
+
+
+def test_step_heartbeat_fires_and_rearms():
+    """StepHeartbeat (SURVEY §5.3 failure detection): no beat within the
+    timeout fires on_stall; regular beats keep it silent."""
+    import time
+
+    from neuralgraphpde.train import StepHeartbeat
+
+    stalls = []
+    with StepHeartbeat(0.1, on_stall=stalls.append, poll_s=0.02) as hb:
+        time.sleep(0.4)  # no beats -> at least one stall (re-armed)
+    assert stalls and all(g > 0.1 for g in stalls)
+    assert hb.stalls == len(stalls)
+
+    stalls2 = []
+    with StepHeartbeat(0.3, on_stall=stalls2.append, poll_s=0.02) as hb2:
+        for _ in range(10):
+            time.sleep(0.05)
+            hb2.beat()
+    assert not stalls2
 
 
 def test_debug_utils():
