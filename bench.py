@@ -56,16 +56,24 @@ FEAT = 128
 ITERS_SHORT, ITERS_LONG = 4, 24
 RAND_NODES = 1 << 18
 RAND_DEG = 16
+REORD_POINTS = 1 << 17
 TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 # Per-worker budgets (r3 lesson: a 6-path mesh sweep starved the vmh worker
 # out of the round's BENCH file). mesh runs first (the primary metric), but
 # trimmed to the non-dominated paths — banded_bf16/fused_bf16 are strictly
 # dominated by the DIA stencil on this mesh (BENCH_r03) and are covered by
 # tests; vmh (the fused edge-MLP evidence) gets its own protected budget.
-BUDGET_S = {"mesh": 700, "vmh": 600, "rand": 350}
+BUDGET_S = {"mesh": 600, "vmh": 500, "reord": 300, "rand": 250}
 JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "tcsr_bf16")),
         ("vmh", ("xla", "fused", "xla_grad", "fused_grad")),
-        ("rand", ("xla", "tcsr_bf16"))]
+        # reord: scrambled-label Delaunay mesh — the auto_reorder lever
+        # (precompute(auto_reorder=True)): RCM relabel -> banded kernel vs
+        # the gather paths on the same graph as labeled
+        ("reord", ("xla", "tcsr_bf16", "auto")),
+        # rand: uniform random graph — gather-path regression tracking plus
+        # the measured random-row-gather BOUND that justifies tiled-CSR on
+        # expander graphs (no narrow ordering exists; see graph/reorder.py)
+        ("rand", ("xla", "tcsr_bf16", "gather_bound"))]
 # timing repeats per path — the spread lands in the bench output so
 # run-to-run variance claims are recorded, not asserted (r3 Weak #3)
 REPEATS = 3
@@ -101,6 +109,15 @@ def _worker(outfile: str, tag: str, paths) -> None:
         n, E = g.num_nodes, g.num_edges
         senders_d, receivers_d = g.senders, g.receivers
         emit(f"INFO mesh {MESH_NX}x{MESH_NY} diag: n={n} E={E}")
+    elif tag == "reord":
+        from neuralgraphpde.graph.builders import delaunay_graph
+
+        pts = rng.random((REORD_POINTS, 2)).astype(np.float32)
+        g = delaunay_graph(pts)  # point order is random -> scrambled labels
+        s_np, r_np = np.asarray(g.senders), np.asarray(g.receivers)
+        n, E = g.num_nodes, g.num_edges
+        senders_d, receivers_d = g.senders, g.receivers
+        emit(f"INFO reord delaunay: n={n} E={E}")
     else:
         E = RAND_NODES * RAND_DEG
         n = RAND_NODES
@@ -134,6 +151,16 @@ def _worker(outfile: str, tag: str, paths) -> None:
                     st, h, compute_dtype=jnp.bfloat16)[:n]
 
             return spmm, tcsr
+        if path == "gather_bound":
+            # upper bound for ANY gather-based path on this graph: the same
+            # RHS with the scatter-reduce replaced by a dense strided mean
+            # (random-row HBM reads + streaming sum only). rand tag only
+            # (needs E = n * RAND_DEG exactly).
+            def spmm(h, st):
+                xj = jnp.take(h, st, axis=0)
+                return jnp.sum(xj.reshape(n, RAND_DEG, h.shape[1]), axis=1)
+
+            return spmm, senders_d
         if path in ("banded_f32", "banded_bf16"):
             dtype = jnp.bfloat16 if path.endswith("bf16") else np.float32
             bm = build_banded(s_np, r_np, n, tb=256, dtype=dtype)
@@ -159,6 +186,35 @@ def _worker(outfile: str, tag: str, paths) -> None:
 
         bm = build_banded(s_np, r_np, n, tb=256, edge_weight=_norm_vals(),
                           dtype=jnp.bfloat16)
+        if bm is None:
+            return None, None
+
+        def rhs(v, st):
+            return _banded_rhs_fwd(st, v, w, None, act="tanh")
+
+        return rhs, bm
+
+    def make_auto_rhs():
+        """The auto_reorder lever end to end: RCM on the scrambled-label
+        mesh, then the fused normalized-banded GCN RHS on the relabeled
+        graph — what ``precompute(auto_reorder=True, gcn_fused=True)``
+        attaches (ops/spmm.py)."""
+        from neuralgraphpde.graph.reorder import rcm_order
+        from neuralgraphpde.kernels.banded_kernels import _banded_rhs_fwd
+
+        order = rcm_order(s_np, r_np, n)
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n, dtype=np.int64)
+        s2 = inv[s_np.astype(np.int64)].astype(np.int32)
+        r2 = inv[r_np.astype(np.int64)].astype(np.int32)
+        deg2 = np.bincount(r2, minlength=n).astype(np.float64)
+        c2 = np.where(deg2 > 0, 1.0 / np.sqrt(np.maximum(deg2, 1e-30)), 0.0)
+        w2 = (c2[r2] * c2[s2]).astype(np.float32)
+        from neuralgraphpde.ops.spmm import AUTO_REORDER_MAX_BANDS
+
+        bm = build_banded(s2, r2, n, tb=256, edge_weight=w2,
+                          dtype=jnp.bfloat16,
+                          max_bands=AUTO_REORDER_MAX_BANDS)
         if bm is None:
             return None, None
 
@@ -200,6 +256,12 @@ def _worker(outfile: str, tag: str, paths) -> None:
                 spmm = None
                 if full_rhs is None:
                     emit(f"FAIL {tag} {path} NotBanded")
+                    continue
+            elif path == "auto":
+                full_rhs, struct = make_auto_rhs()
+                spmm = None
+                if full_rhs is None:
+                    emit(f"FAIL {tag} {path} NotBandedAfterRCM")
                     continue
             else:
                 spmm, struct = make_spmm(path)
@@ -346,7 +408,7 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# {tag} worker hit timeout", flush=True)
 
-    buckets = {"mesh": {}, "rand": {}, "vmh": {}}
+    buckets = {"mesh": {}, "rand": {}, "vmh": {}, "reord": {}}
     with open(outfile) as f:
         for line in f:
             parts = line.split()
@@ -377,6 +439,15 @@ def main():
     if "xla_grad" in vmh and "fused_grad" in vmh and vmh["xla_grad"] > 0:
         print("# vmh fused grad (fwd+VJP) speedup: "
               f"{vmh['fused_grad'] / vmh['xla_grad']:.2f}x", flush=True)
+    reord = buckets["reord"]
+    if "auto" in reord and "tcsr_bf16" in reord and reord["tcsr_bf16"] > 0:
+        print("# reord auto_reorder speedup over tcsr: "
+              f"{reord['auto'] / reord['tcsr_bf16']:.2f}x", flush=True)
+    if "gather_bound" in rand and "tcsr_bf16" in rand \
+            and rand["gather_bound"] > 0:
+        print("# rand tcsr fraction of random-gather bound: "
+              f"{100 * rand['tcsr_bf16'] / rand['gather_bound']:.0f}%",
+              flush=True)
 
     base_eps = mesh.get("xla", 0.0)
     best_eps = max((v for k, v in mesh.items() if k != "xla"), default=0.0)

@@ -236,6 +236,7 @@ def precompute_bsr(
     max_density: float = 0.25,
     dtype=np.float32,
     dia: bool = True,
+    max_bands: int = 16,
 ) -> GnnGraph:
     """Attach block storage to ``g.cache`` when the graph is block-sparse
     enough: diagonal-banded (``cache['banded']``, preferred — no product
@@ -278,13 +279,14 @@ def precompute_bsr(
             return g.copy(cache={**g.cache, "dia": dm,
                                  "dia_rev": transpose_dia(dm)})
     banded = build_banded(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,
-                          dtype=dtype)
+                          dtype=dtype, max_bands=max_bands)
     if banded is not None:
         # Reversed-edge banded matrix = A^T: makes the Pallas streaming
         # kernel's backward pass a second streaming pass
         # (kernels/banded_kernels.py).
         banded_rev = build_banded(r, s, g.num_nodes, tb=tb,
-                                  edge_weight=edge_weight, dtype=dtype)
+                                  edge_weight=edge_weight, dtype=dtype,
+                                  max_bands=max_bands)
         return g.copy(cache={**g.cache, "banded": banded,
                              "banded_rev": banded_rev})
     bsr = build_bsr(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,

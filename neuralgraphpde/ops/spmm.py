@@ -51,6 +51,61 @@ def _pallas_available() -> bool:
         return False
 
 
+# Band-count cap for the auto-reorder flow: RCM'd planar meshes at ~10^5
+# nodes land just past build_banded's grid-tuned 16 (131k-point Delaunay:
+# 17 block diagonals at TB=256); the streaming kernel is generic over the
+# band count and the traffic stays ~1 GB-scale, so a modestly higher cap
+# keeps the lever usable without admitting unstructured graphs.
+AUTO_REORDER_MAX_BANDS = 24
+
+
+def _block_bandable(s, r, n, tb, max_bands: int = 16) -> bool:
+    """Mirror of ``bsr.build_banded``'s acceptance gate: few distinct
+    ``TB×TB`` block diagonals, and few relative to a dense matrix."""
+    import numpy as np
+
+    nb = -(-n // tb)
+    offs = np.unique(s.astype(np.int64) // tb - r.astype(np.int64) // tb)
+    return (len(offs) <= max_bands
+            and len(offs) < max((2 * nb - 1) // 2, 2))
+
+
+def _dia_ok(s, r, n) -> bool:
+    from .dia import plan_dia
+
+    plan = plan_dia(s, r, n)
+    return plan is not None and ((plan.full_ok and plan.full_bw <= 8192)
+                                 or plan.hybrid_ok)
+
+
+def _try_auto_reorder(g: GnnGraph, tb: int):
+    """RCM-renumber ``g`` when (and only when) that unlocks a banded/DIA
+    structure the graph doesn't have as labeled. Returns ``(graph, order)``
+    with ``order=None`` when no reorder was applied."""
+    import numpy as np
+
+    from ..graph.reorder import rcm_order, reorder_graph
+
+    if g.host_coo is not None:
+        s, r = g.host_coo
+    else:
+        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    n = g.num_nodes
+    if n < 4 * tb or g.num_edges == 0:
+        return g, None
+    if _block_bandable(s, r, n, tb) or _dia_ok(s, r, n):
+        return g, None  # already structured — nothing to unlock
+    order = rcm_order(s, r, n)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    s2, r2 = inv[s.astype(np.int64)], inv[r.astype(np.int64)]
+    if not (_block_bandable(s2, r2, n, tb,
+                            max_bands=AUTO_REORDER_MAX_BANDS)
+            or _dia_ok(s2, r2, n)):
+        return g, None  # expander-like: no narrow ordering exists
+    return reorder_graph(g, order), order
+
+
 def precompute(
     g: GnnGraph,
     *,
@@ -68,8 +123,20 @@ def precompute(
     max_gather_slab_edges: int = 8_000_000,
     gcn_fused: Optional[bool] = None,
     dia: bool = True,
+    auto_reorder: bool = False,
 ) -> GnnGraph:
     """Attach SpMM acceleration structure to ``g.cache``.
+
+    ``auto_reorder=True``: when the graph is NOT banded/DIA-structured as
+    labeled but an RCM renumbering makes it so (spatially local meshes fed
+    with scrambled labels — Delaunay/radius graphs), the nodes are relabeled
+    first so the gather-free kernel paths engage. The permutation is
+    recorded in ``cache['node_order']`` (old id of each new node) — THE NODE
+    IDS CHANGE: permute per-node features with
+    ``graph.reorder.permute_nodes(x, order)`` and map outputs back with
+    ``unpermute_nodes``. Graphs that stay unstructured after RCM (e.g.
+    uniform random — expanders have no narrow ordering) are left unchanged
+    and keep the tiled-CSR gather path.
 
     - ``adj``: dense unweighted adjacency (receiver-major), used by the dense
       path when no runtime edge weights are supplied.
@@ -92,6 +159,9 @@ def precompute(
         from ..graph.transforms import add_self_loops as _asl
 
         g = _asl(g)
+    node_order = None
+    if auto_reorder:
+        g, node_order = _try_auto_reorder(g, bsr_tb)
     if dense is None:
         dense = g.num_nodes <= dense_threshold_nodes
     if pallas is None:
@@ -100,6 +170,8 @@ def precompute(
     if csr and not g.receivers_sorted:
         g, perm = sort_by_receiver(g, return_perm=True)
     cache = dict(g.cache)
+    if node_order is not None:
+        cache["node_order"] = jnp.asarray(node_order, jnp.int32)
     if add_self_loops:
         cache["self_looped"] = True
         # where each *original* edge landed in the current (looped, sorted)
@@ -159,7 +231,9 @@ def precompute(
         from .bsr import precompute_bsr
 
         g2 = precompute_bsr(g.copy(cache=cache), tb=bsr_tb,
-                            edge_weight=edge_weight, dia=dia)
+                            edge_weight=edge_weight, dia=dia,
+                            max_bands=(AUTO_REORDER_MAX_BANDS
+                                       if node_order is not None else 16))
         if (gcn_fused or (gcn_fused is None and add_self_loops)) \
                 and ("banded" in g2.cache or "dia" in g2.cache) \
                 and "dia_rem" not in g2.cache \

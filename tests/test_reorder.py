@@ -98,3 +98,48 @@ def test_spatial_reorder_uses_ndata_x():
     assert g2.num_edges == g.num_edges
     # Z-curve keeps neighbors within a quadrant span (far below n=256)
     assert bandwidth(s2, r2) < g.num_nodes // 2
+
+
+def test_precompute_auto_reorder_unlocks_banded():
+    """precompute(auto_reorder=True) on a scrambled-label mesh must relabel
+    (cache['node_order']), land a banded/DIA structure, and stay equivalent
+    to the original graph modulo the recorded permutation."""
+    from neuralgraphpde.ops.spmm import precompute, spmm
+
+    g = _shuffled_delaunay(n=600, seed=3)
+    gp = precompute(g, dense=False, pallas=False, bsr=True, bsr_tb=64,
+                    auto_reorder=True)
+    assert "node_order" in gp.cache
+    assert ("banded" in gp.cache) or ("dia" in gp.cache)
+    order = np.asarray(gp.cache["node_order"])
+
+    x = np.random.default_rng(0).normal(size=(g.num_nodes, 8)) \
+        .astype(np.float32)
+    want = np.asarray(spmm_xla(g, jnp.asarray(x)))
+    got = unpermute_nodes(
+        np.asarray(spmm(gp, jnp.asarray(permute_nodes(x, order)))), order)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_precompute_auto_reorder_leaves_random_graph_alone():
+    """Uniform random graphs have no narrow ordering — auto_reorder must be
+    a no-op (tiled-CSR stays in charge), not a silent quality loss."""
+    from neuralgraphpde import rand_graph
+    from neuralgraphpde.ops.spmm import precompute
+
+    g = rand_graph(600, 600 * 8, seed=1)
+    gp = precompute(g, dense=False, pallas=False, bsr=True, bsr_tb=64,
+                    auto_reorder=True)
+    assert "node_order" not in gp.cache
+    assert "banded" not in gp.cache and "dia" not in gp.cache
+
+
+def test_precompute_auto_reorder_skips_structured_mesh():
+    """An already-DIA grid must not be renumbered."""
+    from neuralgraphpde.ops.spmm import precompute
+
+    g = grid_graph_2d(32, 32, diagonals=True)
+    gp = precompute(g, dense=False, pallas=False, bsr=True, bsr_tb=64,
+                    auto_reorder=True)
+    assert "node_order" not in gp.cache
+    assert "dia" in gp.cache
