@@ -82,6 +82,27 @@ def _node_degree(g, dtype):
     return _degree(g, dtype, direction="in")
 
 
+def split_phi_last_linear(phi):
+    """``(prefix_layers, last_dense)`` when ϕ is a Dense stack ending in a
+    linear Dense (the GNO kernel-network shape), else None. Shared by
+    ``GNOConv`` and ``parallel.layers.ShardedGNOConv``."""
+    from .basic import MLP, Chain
+
+    if isinstance(phi, MLP):
+        phi = phi._chain
+    if isinstance(phi, Chain):
+        layers = phi.layers
+    elif isinstance(phi, Dense):
+        layers = (phi,)
+    else:
+        return None
+    last = layers[-1]
+    if not isinstance(last, Dense) or last.activation not in (None,
+                                                              "identity"):
+        return None
+    return layers[:-1], last
+
+
 def fused_phi_plan(phi, phi_ps, aggr):
     """Staging plan for the fused edge-MLP kernel: ``(acts, ws, bs, post)``
     when ϕ is a Dense stack with static (kernel-representable) activations
@@ -525,22 +546,7 @@ class GNOConv(AbstractGNNContainerLayer):
 
     def _phi_split(self):
         """(prefix_layers, last_dense) when ϕ is fusable, else None."""
-        from .basic import MLP, Chain
-
-        phi = self.phi
-        if isinstance(phi, MLP):
-            phi = phi._chain
-        if isinstance(phi, Chain):
-            layers = phi.layers
-        elif isinstance(phi, Dense):
-            layers = (phi,)
-        else:
-            return None
-        last = layers[-1]
-        if not isinstance(last, Dense) or last.activation not in (None,
-                                                                  "identity"):
-            return None
-        return layers[:-1], last
+        return split_phi_last_linear(self.phi)
 
     def _fused_forward(self, x, ps, st, g):
         from ..kernels.gno_kernels import fused_gno_aggregate, pack_last_layer

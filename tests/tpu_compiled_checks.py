@@ -195,12 +195,12 @@ def run_section(section: str) -> int:
             check(f"fused_gno_bwd_{nm}", a_, b_, 1e-3, failures)
 
     elif section == "fusedmlp":
-        # STATUS (r3, tunneled v5e): dia + gno + banded + tiled sections
-        # complete in minutes; THIS section exceeded a 10-min timeout twice
-        # over the relay (suspect: compile latency of the 2n+1-output
-        # backward pallas_call through the relay, the known compile-hang
-        # mode). Interpret-mode numerics pass (see commit); re-run on a
-        # direct-attached chip / after shrinking n3 to bisect.
+        # STATUS (r4, tunneled v5e): compiles and runs (the r3 10-min
+        # timeouts did not reproduce). First r4 run failed at rel~2e-3 —
+        # the REFERENCE was the sloppy side: plain jnp.dot defaults to
+        # bf16-truncated MXU passes while the kernel computes at HIGHEST
+        # (the same r2 lesson, from the other direction) — hence the
+        # explicit precision on every reference dot below.
         from neuralgraphpde.kernels.fused_mlp_kernels import (
             fused_mlp_aggregate,
         )
@@ -218,10 +218,12 @@ def run_section(section: str) -> int:
         bs = tuple(jnp.asarray(rng.normal(size=(1, b)).astype(np.float32)
                                * 0.1) for b in widths[1:])
 
+        _hi = jax.lax.Precision.HIGHEST
+
         def mlp_ref(f):
             h = f
             for w, b, a in zip(ws, bs, acts):
-                h = jnp.dot(h, w) + b
+                h = jnp.dot(h, w, precision=_hi) + b
                 h = jnp.tanh(h) if a == "tanh" else h
             return h
 
@@ -237,11 +239,7 @@ def run_section(section: str) -> int:
                                                tcsr3)[:n3] ** 2)
 
         def loss_r(f, ws, bs):
-            h = f
-            for w, b, a in zip(ws, bs, acts):
-                h = jnp.dot(h, w) + b
-                h = jnp.tanh(h) if a == "tanh" else h
-            y = jax.ops.segment_sum(h, r3_d, num_segments=n3,
+            y = jax.ops.segment_sum(mlp_ref(f), r3_d, num_segments=n3,
                                     indices_are_sorted=True)
             return jnp.sum(y ** 2)
 
