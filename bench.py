@@ -233,9 +233,12 @@ def _worker(outfile: str, tag: str, paths) -> None:
         dm = build_dia(s_np, r_np, n, edge_weight=_norm_vals(), dtype=dtype)
         if dm is None or dm.bandwidth > 8192:
             return None, None
+        # bf16 path: bf16 OUTPUT too (halves the write of this
+        # bandwidth-bound kernel — the bf16-policy compute dtype)
+        od = jnp.bfloat16 if dtype == jnp.bfloat16 else None
 
         def rhs(v, st):
-            return _dia_rhs_fwd(st, v, w, None, act="tanh")
+            return _dia_rhs_fwd(st, v, w, None, act="tanh", out_dtype=od)
 
         return rhs, dm
 
@@ -284,17 +287,20 @@ def _worker(outfile: str, tag: str, paths) -> None:
 
                 return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
 
+            # bf16-out kernels need a bf16 loop carry (stable fori_loop type)
+            x_run = (x.astype(jnp.bfloat16) if path == "dia_fused_bf16"
+                     else x)
             short = jnp.int32(ITERS_SHORT)
             long_ = jnp.int32(ITERS_LONG)
-            sync(loop(x, short, struct))
-            sync(loop(x, long_, struct))
+            sync(loop(x_run, short, struct))
+            sync(loop(x_run, long_, struct))
             rates = []
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
-                sync(loop(x, short, struct))
+                sync(loop(x_run, short, struct))
                 t_short = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                sync(loop(x, long_, struct))
+                sync(loop(x_run, long_, struct))
                 t_long = time.perf_counter() - t0
                 dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
                 rates.append(E / dt)

@@ -40,22 +40,37 @@ from .banded_kernels import _EPILOGUE_ACTS, _act_grad_from_y
 TF_MAX = 512
 
 
-def _pick_tn(bandwidth: int, padded_nodes: int) -> Optional[int]:
-    """Smallest row-tile (multiple of 512) covering the bandwidth; None when
-    the window would not fit (bandwidth too large for 3-block windows)."""
-    tn = 512
-    while tn < bandwidth:
-        tn *= 2
-    if padded_nodes % tn != 0:
-        # padded_nodes is a multiple of 512 (build_dia tile); larger tn may
-        # not divide it — bail rather than re-pad inside jit
+def _pick_tiles(bandwidth: int, padded_nodes: int, tf: int,
+                out_w: int) -> Optional[tuple]:
+    """Row tile + HALO block sizing ``(tn, hb)``.
+
+    The naive scheme reads three FULL tn-blocks per tile (3× x traffic).
+    With a thin halo block ``hb ≥ bandwidth`` and a larger row tile
+    ``tn = R·hb``, each tile reads ``tn + 2·hb`` rows — factor
+    ``1 + 2/R`` instead of 3. On the 512² bench mesh (W=513 → hb=1024,
+    tn=4096) that cuts x reads 2×, and x is the dominant stream of this
+    bandwidth-bound kernel. VMEM caps R; falls back to R=1 (≡ the old
+    3-block scheme) and ultimately None when nothing fits."""
+    hb = 512
+    while hb < bandwidth:
+        hb *= 2
+    if hb > 8192:
         return None
-    if tn > 8192:
-        return None
-    return tn
+    for R in (8, 4, 2, 1):
+        tn = R * hb
+        if tn > 8192 or padded_nodes % tn != 0:
+            continue
+        # f32 window + f32 out tile + epilogue weight, generous margin
+        vmem = ((tn + 2 * hb) * tf + tn * max(out_w, tf)) * 4
+        if vmem <= 12 * 2**20:
+            return tn, hb
+    return None
 
 
-def _make_dia_kernel(offsets, tn, act, has_w, has_b):
+def _make_dia_kernel(offsets, tn, hb, act, has_w, has_b):
+    """``hb``: rows in each halo block (prev/next); the window is
+    ``hb + tn + hb`` rows and diagonal ``d`` reads ``window[hb+d : hb+d+tn]``.
+    ``hb == tn`` reproduces the original 3-full-block scheme."""
     act_fn = None if act is False else _EPILOGUE_ACTS[
         "identity" if act is None else act]
 
@@ -69,15 +84,15 @@ def _make_dia_kernel(offsets, tn, act, has_w, has_b):
 
         window = jnp.concatenate(
             [xp_ref[:].astype(jnp.float32), xm_ref[:].astype(jnp.float32),
-             xn_ref[:].astype(jnp.float32)], axis=0)  # (3·tn, tf)
+             xn_ref[:].astype(jnp.float32)], axis=0)  # (hb+tn+hb, tf)
         vals = vals_ref[:].astype(jnp.float32)  # (tn, K)
         acc = jnp.zeros((tn, window.shape[1]), jnp.float32)
         for k, d in enumerate(offsets):
-            seg = jax.lax.slice_in_dim(window, tn + d, 2 * tn + d, axis=0)
+            seg = jax.lax.slice_in_dim(window, hb + d, hb + tn + d, axis=0)
             acc = acc + vals[:, k:k + 1] * seg
 
         if act_fn is None:  # plain SpMM (no epilogue)
-            out_ref[:] = acc
+            out_ref[:] = acc.astype(out_ref.dtype)
             return
         h = acc
         if has_w:
@@ -87,23 +102,21 @@ def _make_dia_kernel(offsets, tn, act, has_w, has_b):
                         preferred_element_type=jnp.float32, precision=prec)
         if has_b:
             h = h + b_ref[:]
-        out_ref[:] = act_fn(h)
+        out_ref[:] = act_fn(h).astype(out_ref.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("act", "interpret", "out_dtype"))
 def _dia_rhs_fwd(dm: DiaMatrix, x: jax.Array, w: Optional[jax.Array],
                  b: Optional[jax.Array], act=False,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False, out_dtype=None) -> jax.Array:
     """act=False: plain SpMM, feature-tiled. act=None/str: fused epilogue
-    (single feature tile, F ≤ TF_MAX)."""
+    (single feature tile, F ≤ TF_MAX). ``out_dtype`` (default f32) lets
+    bf16-policy callers halve the output write traffic."""
     n_pad = dm.padded_nodes
     W = dm.bandwidth
-    tn = _pick_tn(W, n_pad)
-    if tn is None:
-        raise ValueError(f"bandwidth {W} too large for the DIA kernel")
-    nb = n_pad // tn
     if x.shape[0] != n_pad:
         x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     if dm.values.dtype != x.dtype:
@@ -127,12 +140,24 @@ def _dia_rhs_fwd(dm: DiaMatrix, x: jax.Array, w: Optional[jax.Array],
     if w is not None and dm.values.dtype == jnp.bfloat16:
         w = w.astype(jnp.bfloat16)
 
+    tiles = _pick_tiles(W, n_pad, tf, out_w)
+    if tiles is None:
+        raise ValueError(f"bandwidth {W} too large for the DIA kernel")
+    tn, hb = tiles
+    nb = n_pad // tn
+    n_hb = n_pad // hb
+    R = tn // hb
+
     in_specs = [
         pl.BlockSpec((tn, K), lambda f, i: (i, 0)),
-        pl.BlockSpec((tn, tf), lambda f, i: (jnp.maximum(i - 1, 0), f)),
+        # halo blocks: hb rows just before/after the tile (index units of
+        # hb; clamped — boundary garbage is annihilated by zero values)
+        pl.BlockSpec((hb, tf),
+                     lambda f, i, R=R: (jnp.maximum(i * R - 1, 0), f)),
         pl.BlockSpec((tn, tf), lambda f, i: (i, f)),
-        pl.BlockSpec((tn, tf),
-                     lambda f, i, nb=nb: (jnp.minimum(i + 1, nb - 1), f)),
+        pl.BlockSpec((hb, tf),
+                     lambda f, i, R=R, n_hb=n_hb: (
+                         jnp.minimum((i + 1) * R, n_hb - 1), f)),
     ]
     args = [dm.values, x, x, x]
     if fused and w is not None:
@@ -142,7 +167,7 @@ def _dia_rhs_fwd(dm: DiaMatrix, x: jax.Array, w: Optional[jax.Array],
         in_specs.append(pl.BlockSpec(b.shape, lambda f, i: (0, 0)))
         args.append(b)
 
-    kernel = _make_dia_kernel(dm.offsets, tn, act,
+    kernel = _make_dia_kernel(dm.offsets, tn, hb, act,
                               fused and w is not None,
                               fused and b is not None)
     out = pl.pallas_call(
@@ -152,7 +177,8 @@ def _dia_rhs_fwd(dm: DiaMatrix, x: jax.Array, w: Optional[jax.Array],
         out_specs=pl.BlockSpec((tn, out_w), lambda f, i: (i, 0 if fused
                                                           else f)),
         out_shape=jax.ShapeDtypeStruct(
-            (n_pad, out_w if fused else Fp), jnp.float32),
+            (n_pad, out_w if fused else Fp),
+            jnp.dtype(out_dtype) if out_dtype is not None else jnp.float32),
         interpret=interpret,
     )(*args)
     if not fused and Fp != F:
@@ -193,12 +219,16 @@ def dia_gcn_rhs(act, x, w, b, dm, dm_rev):
     """Fused ``σ((Ĉ·x)·W + b)`` with Ĉ = C·Ã·C stored as DIA values
     (``cache['dia_norm']``): the whole GCN ODE RHS in one stencil pass.
     ``w``/``b`` may be None; see ``banded_kernels.banded_gcn_rhs`` for the
-    out<in pre-multiply convention. Returns f32 ``(num_nodes, out)``."""
-    return _dia_rhs_fwd(dm, x, w, b, act=act)
+    out<in pre-multiply convention. Returns f32 ``(num_nodes, out)`` — or
+    bf16 when ``x`` is bf16 (bf16-policy callers: halves the output write
+    of this bandwidth-bound kernel)."""
+    od = jnp.bfloat16 if x.dtype == jnp.bfloat16 else None
+    return _dia_rhs_fwd(dm, x, w, b, act=act, out_dtype=od)
 
 
 def _rhs_fwd(act, x, w, b, dm, dm_rev):
-    y = _dia_rhs_fwd(dm, x, w, b, act=act)
+    od = jnp.bfloat16 if x.dtype == jnp.bfloat16 else None
+    y = _dia_rhs_fwd(dm, x, w, b, act=act, out_dtype=od)
     return y, (x, w, b, dm, dm_rev, y)
 
 

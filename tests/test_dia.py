@@ -183,3 +183,47 @@ def test_hybrid_precompute_dispatch_and_grad():
     np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gp_), np.asarray(gx), atol=2e-3,
                                rtol=2e-3)
+
+
+def test_halo_block_window_multi_tile():
+    """The halo-block window scheme (hb < tn) must agree with the XLA
+    stencil across several row tiles, including the clamped boundary tiles
+    — a mesh tall enough that padded_nodes spans multiple hb-blocks."""
+    # 16384 nodes -> n_pad 16384; bandwidth ~130 -> hb=512, tn=4096 ->
+    # 4 row tiles with thin halo blocks, first/last tiles clamped
+    g, s, r = _grid(128, 128)
+    dm = build_dia(s, r, g.num_nodes)
+    from neuralgraphpde.kernels.dia_kernels import _pick_tiles
+    tn, hb = _pick_tiles(dm.bandwidth, dm.padded_nodes, 8, 8)
+    assert hb < tn and dm.padded_nodes // tn >= 2, (tn, hb)
+    x = jnp.asarray(np.random.default_rng(9)
+                    .normal(size=(g.num_nodes, 8)).astype(np.float32))
+    want = np.asarray(dia_spmm(dm, x))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_dia_rhs_fwd(dm, x, None, None, act=False,
+                                      interpret=True))[: g.num_nodes]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bf16_input_gives_bf16_output():
+    """bf16-policy contract: dia_gcn_rhs with bf16 x writes bf16 out (half
+    the output traffic), numerically close to the f32-out path."""
+    from neuralgraphpde.kernels.dia_kernels import dia_gcn_rhs
+
+    g, s, r = _grid(16, 16)
+    deg = np.bincount(r, minlength=g.num_nodes).astype(np.float64)
+    c = 1.0 / np.sqrt(np.maximum(deg, 1.0))
+    dm = build_dia(s, r, g.num_nodes, edge_weight=(c[r] * c[s]).astype(np.float32),
+                   dtype=jnp.bfloat16)
+    dm_rev = transpose_dia(dm)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32) / 3)
+    with pltpu.force_tpu_interpret_mode():
+        y32 = dia_gcn_rhs("tanh", x, w, None, dm, dm_rev)
+        y16 = dia_gcn_rhs("tanh", x.astype(jnp.bfloat16), w, None, dm,
+                          dm_rev)
+    assert y32.dtype == jnp.float32
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32), atol=2e-2)

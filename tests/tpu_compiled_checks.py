@@ -220,12 +220,15 @@ def run_section(section: str) -> int:
 
         _hi = jax.lax.Precision.HIGHEST
 
-        def mlp_ref(f):
+        def mlp_ref_p(f, ws_, bs_):
             h = f
-            for w, b, a in zip(ws, bs, acts):
+            for w, b, a in zip(ws_, bs_, acts):
                 h = jnp.dot(h, w, precision=_hi) + b
                 h = jnp.tanh(h) if a == "tanh" else h
             return h
+
+        def mlp_ref(f):
+            return mlp_ref_p(f, ws, bs)
 
         y_f = jax.jit(lambda f: fused_mlp_aggregate(
             acts, f, ws, bs, tcsr3)[:n3])(feats)
@@ -239,7 +242,8 @@ def run_section(section: str) -> int:
                                                tcsr3)[:n3] ** 2)
 
         def loss_r(f, ws, bs):
-            y = jax.ops.segment_sum(mlp_ref(f), r3_d, num_segments=n3,
+            y = jax.ops.segment_sum(mlp_ref_p(f, ws, bs), r3_d,
+                                    num_segments=n3,
                                     indices_are_sorted=True)
             return jnp.sum(y ** 2)
 
