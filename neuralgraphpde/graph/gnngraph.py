@@ -185,6 +185,31 @@ class GnnGraph:
             host_coo=host_coo,
         )
 
+    @classmethod
+    def from_dense(cls, adj, *, ndata=None, gdata=None,
+                   store_weights: Optional[bool] = None) -> "GnnGraph":
+        """ADJMAT ingestion — the reference accepts adjacency-matrix graph
+        storage through GNNGraphs.jl (its only ADJMAT-specific behavior is
+        an assert rejecting runtime edge weights, reference
+        src/layers.jl:204). Here the matrix is converted ONCE, host-side,
+        to the canonical COO form: ``adj[r, s] != 0`` becomes edge
+        ``s -> r`` (the receiver-major orientation of
+        ``to_dense_adjacency``), receiver-sorted by construction. Non-unit
+        entries are stored in ``edata['e']`` — the stored-edge-weight slot
+        ``GCNConv(use_edge_weight=True)`` reads; ``store_weights`` forces
+        storing (True) or dropping (False) the values."""
+        A = np.asarray(adj)
+        if A.ndim != 2 or A.shape[0] != A.shape[1]:
+            raise ValueError(f"adjacency must be square 2-D, got {A.shape}")
+        r, s = np.nonzero(A)  # row-major scan -> receivers ascending
+        w = np.asarray(A[r, s], np.float32)
+        if store_weights is None:
+            store_weights = bool((w != 1.0).any())
+        edata = {"e": jnp.asarray(w[:, None])} if store_weights else None
+        return cls.from_coo(s.astype(np.int32), r.astype(np.int32),
+                            num_nodes=A.shape[0], ndata=ndata, edata=edata,
+                            gdata=gdata)
+
     def replace(self, **kwargs) -> "GnnGraph":
         """Constructor-copy with feature overrides.
 

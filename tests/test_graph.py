@@ -225,3 +225,40 @@ def test_feature_key_insertion_order_preserved():
     # replace() keeps the override's declared order too
     g2 = g.replace(ndata={"b": a, "c": z})
     assert list(g2.ndata) == ["b", "c"]
+
+
+def test_from_dense_adjmat_roundtrip():
+    """ADJMAT ingestion (reference GNNGraphs ADJMAT storage): from_dense ->
+    COO -> to_dense_adjacency round-trips, weights land in edata['e'] and
+    GCNConv(use_edge_weight=True) consumes them."""
+    import numpy as np
+    from neuralgraphpde import GCNConv, GnnGraph, setup, update_graph
+    from neuralgraphpde.graph.transforms import to_dense_adjacency
+
+    rng = np.random.default_rng(0)
+    A = (rng.random((12, 12)) < 0.3).astype(np.float32)
+    A *= rng.uniform(0.5, 2.0, A.shape).astype(np.float32)
+    g = GnnGraph.from_dense(A)
+    assert g.num_nodes == 12 and g.num_edges == int((A != 0).sum())
+    assert g.receivers_sorted
+    np.testing.assert_allclose(
+        np.asarray(to_dense_adjacency(g, edge_weight=g.edata["e"]
+                                      .reshape(-1))), A, atol=1e-6)
+
+    # unweighted matrix: connectivity only unless forced
+    B = (A != 0).astype(np.float32)
+    gb = GnnGraph.from_dense(B)
+    assert "e" not in gb.edata
+    gb2 = GnnGraph.from_dense(B, store_weights=True)
+    assert np.allclose(np.asarray(gb2.edata["e"]), 1.0)
+
+    # stored weights flow through GCNConv(use_edge_weight=True)
+    import jax
+    import jax.numpy as jnp
+    layer = GCNConv(4, 4, use_edge_weight=True, add_self_loops=False)
+    ps, st = setup(jax.random.PRNGKey(0), layer)
+    st = update_graph(st, g)
+    x = jnp.asarray(rng.normal(size=(12, 4)).astype(np.float32))
+    y, _ = layer(x, ps, st)
+    y2, _ = layer(x, ps, st, edge_weight=g.edata["e"].reshape(-1))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
