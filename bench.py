@@ -63,7 +63,7 @@ TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 # trimmed to the non-dominated paths — banded_bf16/fused_bf16 are strictly
 # dominated by the DIA stencil on this mesh (BENCH_r03) and are covered by
 # tests; vmh (the fused edge-MLP evidence) gets its own protected budget.
-BUDGET_S = {"mesh": 600, "vmh": 500, "reord": 300, "rand": 250}
+BUDGET_S = {"mesh": 600, "vmh": 600, "reord": 250, "rand": 200}
 JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "tcsr_bf16")),
         ("vmh", ("xla", "fused", "xla_grad", "fused_grad")),
         # reord: scrambled-label Delaunay mesh — the auto_reorder lever
@@ -311,7 +311,13 @@ def _worker(outfile: str, tag: str, paths) -> None:
             emit(f"FAIL {tag} {path} {type(err).__name__}: {str(err)[:120]}")
 
 
-VMH_POINTS = 1 << 17
+# 32k points (~196k Delaunay edges): large enough for representative
+# edge rates, small enough that the axon IN-PROCESS TPU AOT compile of the
+# XLA layer path stays sane — at 131k points that compile ballooned to
+# ~64 GB host RSS and starved the whole 2-core box (r3's "vmh worker hit
+# timeout" root cause, diagnosed r4). The headline here is the fused/xla
+# RATIO on identical shapes, not absolute scale.
+VMH_POINTS = 1 << 15
 VMH_HIDDEN, VMH_MSG = 60, 40
 
 
