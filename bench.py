@@ -65,7 +65,12 @@ TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 # tests; vmh (the fused edge-MLP evidence) gets its own protected budget.
 BUDGET_S = {"mesh": 600, "vmh": 600, "reord": 250, "rand": 200}
 JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "tcsr_bf16")),
-        ("vmh", ("xla", "fused", "xla_grad", "fused_grad")),
+        # vmh: xla/fused = forward-only pair (fused Pallas kernel);
+        # *_grad = training path (fused_grad rides the r4 DEFAULT
+        # saved-activation XLA backend; _pbwd pins the fully-fused Pallas
+        # pair — the peak-memory lever); *_bf16 = bf16(model) policy
+        ("vmh", ("xla", "fused", "xla_grad", "fused_grad",
+                 "fused_grad_pbwd", "xla_grad_bf16", "fused_grad_bf16")),
         # reord: scrambled-label Delaunay mesh — the auto_reorder lever
         # (precompute(auto_reorder=True)): RCM relabel -> banded kernel vs
         # the gather paths on the same graph as labeled
@@ -340,6 +345,8 @@ def _vmh_worker(emit, paths) -> None:
     emit(f"INFO vmh delaunay: n={g.num_nodes} E={E} "
          f"hidden={VMH_HIDDEN} msg={VMH_MSG}")
 
+    from neuralgraphpde import bf16 as _bf16_policy
+
     layer = VMHConv(MLP((4, VMH_HIDDEN, VMH_HIDDEN, VMH_HIDDEN, VMH_MSG),
                         "tanh"),
                     MLP((1 + VMH_MSG, VMH_HIDDEN, VMH_HIDDEN, VMH_HIDDEN, 1),
@@ -347,28 +354,40 @@ def _vmh_worker(emit, paths) -> None:
     ps, st0 = setup(jax.random.PRNGKey(0), layer)
     gp = precompute(g, dense=False, pallas=True)
     st = update_graph(st0, gp)
+    # bf16-policy variant (production perf configuration): f32 master
+    # params, bf16 compute — kernels take the 1-pass MXU rate
+    layer16 = _bf16_policy(layer)
+    ps16, st16_0 = setup(jax.random.PRNGKey(0), layer16)
+    st16 = update_graph(st16_0, gp)
     x = jnp.asarray(rng.normal(size=(g.num_nodes, 1)).astype(np.float32))
 
     for path in paths:
         try:
             set_spmm_mode("xla" if path.startswith("xla") else "pallas")
-            grad_path = path.endswith("_grad")
+            grad_path = "_grad" in path
+            use16 = "_bf16" in path
+            lyr, lps, lst = ((layer16, ps16, st16) if use16
+                             else (layer, ps, st))
+            if "_pbwd" in path:
+                # fully-fused pair: Pallas forward + Pallas backward
+                # (NGPDE_FUSED_BWD, read at trace time)
+                os.environ["NGPDE_FUSED_BWD"] = "pallas"
 
             @jax.jit
-            def loop(x0, iters, st, grad_path=grad_path):
+            def loop(x0, iters, st, grad_path=grad_path, lyr=lyr, lps=lps):
                 if grad_path:
                     # training-path analog: forward + full VJP per step
                     # (exercises the fused Pallas backward vs the XLA
                     # layer-by-layer backward)
                     def rhs(v):
                         def f(v):
-                            y, _ = layer(v, ps, st)
+                            y, _ = lyr(v, lps, st)
                             return jnp.sum(y * y)
 
                         return v - 1e-9 * jax.grad(f)(v)
                 else:
                     def rhs(v):
-                        y, _ = layer(v, ps, st)
+                        y, _ = lyr(v, lps, st)
                         return y
 
                 return jax.lax.fori_loop(0, iters, lambda i, v: rhs(v), x0)
@@ -377,15 +396,15 @@ def _vmh_worker(emit, paths) -> None:
                 return float(jnp.sum(v[0, :1]))
 
             short, long_ = jnp.int32(ITERS_SHORT), jnp.int32(ITERS_LONG)
-            sync(loop(x, short, st))
-            sync(loop(x, long_, st))
+            sync(loop(x, short, lst))
+            sync(loop(x, long_, lst))
             rates = []
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
-                sync(loop(x, short, st))
+                sync(loop(x, short, lst))
                 t_short = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                sync(loop(x, long_, st))
+                sync(loop(x, long_, lst))
                 t_long = time.perf_counter() - t0
                 dt = max(t_long - t_short, 1e-9) / (ITERS_LONG - ITERS_SHORT)
                 rates.append(E / dt)
@@ -396,6 +415,7 @@ def _vmh_worker(emit, paths) -> None:
             emit(f"FAIL vmh {path} {type(err).__name__}: {str(err)[:120]}")
         finally:
             set_spmm_mode("auto")
+            os.environ.pop("NGPDE_FUSED_BWD", None)
 
 
 def main():

@@ -95,8 +95,7 @@ def _make_kernel(acts: Tuple[Optional[str], ...]):
         onehot = jnp.where(cols == recv, w, 0.0)
         out_ref[:] += jax.lax.dot_general(
             onehot, h, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32, precision=prec)
 
     return kernel
 
@@ -169,7 +168,11 @@ def _make_bwd_kernel(acts: Tuple[Optional[str], ...]):
             for db in db_refs:
                 db[...] = jnp.zeros_like(db)
 
-        prec = jax.lax.Precision.HIGHEST
+        # HIGHEST only for true-f32 inputs (the r2 truncation lesson);
+        # bf16-policy inputs take the 1-pass MXU rate — the operands are
+        # bf16-rounded anyway, so 6-pass f32 buys nothing but 6x the FLOPs
+        prec = (jax.lax.Precision.HIGHEST
+                if feats_ref.dtype == jnp.float32 else None)
 
         # forward recompute, keeping every activation in registers/VMEM
         h = feats_ref[0].astype(jnp.float32)  # (TE, Fin)
@@ -269,6 +272,27 @@ def _fused_mlp_bwd_pallas(acts, tiling: TiledCSR, feats: jax.Array,
     return dfeats.astype(feats.dtype), dws, dbs
 
 
+def _bwd_mode() -> str:
+    """Training-path backend, read at trace time. Measured on v5e at 196k
+    edges / hidden 60 (BENCH r4 vmh secondaries, f32 AND bf16 policies):
+    the XLA path with autodiff-SAVED activations beats both recompute
+    backends — the per-edge matmuls are too narrow for the recompute's
+    extra FLOPs to hide, and activation traffic fits comfortably. So:
+
+    - ``xla``     (default) — differentiated calls run an XLA forward that
+      saves per-layer activations; the backward is plain saved-activation
+      backprop (the cost profile of the un-fused layer path).
+    - ``pallas``  — the fully-fused pair: Pallas forward + Pallas backward
+      that recomputes activations in VMEM. PEAK-MEMORY lever: no edge-wide
+      activation ever exists in HBM; opt in when the saved activations
+      (~2·E·Σwidths·4B) don't fit.
+    - ``recompute`` — XLA recompute backward (A/B baseline).
+
+    Non-differentiated (inference / ODE forward) calls always take the
+    fused Pallas kernel, which wins forward-only."""
+    return os.environ.get("NGPDE_FUSED_BWD", "xla").lower()
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_mlp_aggregate(acts: Tuple[Optional[str], ...], feats: jax.Array,
                         ws: Tuple[jax.Array, ...],
@@ -279,39 +303,77 @@ def fused_mlp_aggregate(acts: Tuple[Optional[str], ...], feats: jax.Array,
     ``acts``: static per-layer activation names; ``ws``/``bs``: per-layer
     ``(K_{l-1}, K_l)`` weights and ``(1, K_l)`` biases (pass zeros for
     bias-free layers). Returns ``(num_tiles·tn, K_out)`` — slice to
-    ``num_nodes``. Backward recomputes the per-edge MLP in XLA.
+    ``num_nodes``. The primal (non-differentiated) call always runs the
+    fused Pallas kernel; the training path is selected by NGPDE_FUSED_BWD
+    (see ``_bwd_mode``).
     """
     return _fused_mlp_fwd(acts, tiling, feats, ws, bs)
 
 
+def _edge_expand(tiling, feats, g_out):
+    eidx = tiling.senders.reshape(-1)  # (S,) edge ids per chunk slot
+    recv_glob = (tiling.chunk_tile[:, None] * tiling.tn
+                 + tiling.recv_local).reshape(-1)
+    wm = tiling.wmask.reshape(-1, 1)
+    feats_s = None if feats is None else jnp.take(feats, eidx, axis=0)
+    gm = (None if g_out is None
+          else jnp.take(g_out, recv_glob, axis=0) * wm)
+    return eidx, recv_glob, wm, feats_s, gm
+
+
 def _fwd(acts, feats, ws, bs, tiling):
-    return _fused_mlp_fwd(acts, tiling, feats, ws, bs), (feats, ws, bs,
-                                                         tiling)
+    if _bwd_mode() != "xla":
+        return (_fused_mlp_fwd(acts, tiling, feats, ws, bs),
+                (feats, ws, bs, tiling, None))
+    # XLA saved-activation forward: per-layer inputs h_l and preactivations
+    # z_l become residuals, exactly like autodiff through the layer path —
+    # the backward then costs no recompute.
+    eidx, recv_glob, wm, feats_s, _ = _edge_expand(tiling, feats, None)
+    h = feats_s
+    hs, zs = [], []
+    for w, b, act in zip(ws, bs, acts):
+        hs.append(h)
+        z = jnp.dot(h, w) + b
+        zs.append(z)
+        h = _act(act)(z)
+    out = jax.ops.segment_sum(
+        h * wm, recv_glob, num_segments=tiling.num_tiles * tiling.tn)
+    return (out.astype(feats.dtype),
+            (feats, ws, bs, tiling, (tuple(hs), tuple(zs))))
 
 
 def _bwd(acts, res, g_out):
-    # escape hatch while the compiled (non-interpret) fused backward is
-    # being qualified per-hardware: NGPDE_FUSED_BWD=xla switches every
-    # fused-MLP VJP to the XLA recompute backward at trace time
-    if os.environ.get("NGPDE_FUSED_BWD", "pallas").lower() == "xla":
-        return _bwd_xla(acts, res, g_out)
-    feats, ws, bs, tiling = res
+    feats, ws, bs, tiling, saved = res
+    mode = _bwd_mode()
+    if saved is not None and mode == "xla":
+        hs, zs = saved
+        eidx, _, _, _, gm = _edge_expand(tiling, None, g_out)
+        dh = gm.astype(jnp.float32)
+        dws, dbs = [None] * len(ws), [None] * len(bs)
+        for layer in reversed(range(len(ws))):
+            _, act_vjp = jax.vjp(_act(acts[layer]), zs[layer])
+            dz = act_vjp(dh.astype(zs[layer].dtype))[0]
+            dws[layer] = jnp.einsum(
+                "sf,sk->fk", hs[layer], dz,
+                preferred_element_type=jnp.float32).astype(ws[layer].dtype)
+            dbs[layer] = jnp.sum(dz, axis=0, keepdims=True,
+                                 dtype=jnp.float32).astype(bs[layer].dtype)
+            dh = jnp.dot(dz, ws[layer].T.astype(dz.dtype))
+        dfeats = jax.ops.segment_sum(dh, eidx, num_segments=feats.shape[0])
+        return (dfeats.astype(feats.dtype), tuple(dws), tuple(dbs),
+                _zeros_like_tree(tiling))
+    if mode == "recompute" or (saved is None and mode == "xla"):
+        return _bwd_recompute_xla(acts, (feats, ws, bs, tiling), g_out)
     dfeats, dws, dbs = _fused_mlp_bwd_pallas(acts, tiling, feats, ws, bs,
                                              g_out)
     return (dfeats, dws, dbs, _zeros_like_tree(tiling))
 
 
-def _bwd_xla(acts, res, g_out):
-    """Pre-r3 backward: recompute the per-edge MLP in XLA (activations
-    materialize in HBM). Kept for A/B against the fused Pallas backward."""
+def _bwd_recompute_xla(acts, res, g_out):
+    """XLA recompute backward (activations recomputed per edge, then
+    backprop). Kept for A/B against the other two backends."""
     feats, ws, bs, tiling = res
-    eidx = tiling.senders.reshape(-1)  # (S,) edge ids per chunk slot
-    recv_glob = (tiling.chunk_tile[:, None] * tiling.tn
-                 + tiling.recv_local).reshape(-1)
-    wm = tiling.wmask.reshape(-1, 1)
-
-    feats_s = jnp.take(feats, eidx, axis=0)  # (S, Fin)
-    gm = jnp.take(g_out, recv_glob, axis=0) * wm  # (S, K_out)
+    eidx, _, _, feats_s, gm = _edge_expand(tiling, feats, g_out)
 
     def edge_mlp(f, ws, bs):
         h = f

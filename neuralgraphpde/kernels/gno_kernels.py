@@ -154,7 +154,10 @@ def _gno_bwd_kernel(chunk_tile_ref, ph_ref, h_ref, recv_ref, wmask_ref,
     h = h_ref[0].astype(jnp.float32)  # (TE, IN)
     te, in_chs = h.shape
     tn = g_ref.shape[0]
-    prec = jax.lax.Precision.HIGHEST
+    # HIGHEST only for true-f32 inputs (r2 truncation lesson); bf16-policy
+    # inputs take the 1-pass MXU rate — same conditioning as the forward
+    prec = (jax.lax.Precision.HIGHEST
+            if ph_ref.dtype == jnp.float32 else None)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (te, tn), 1)
     onehot = jnp.where(cols == recv_ref[0], wmask_ref[0], 0.0)

@@ -20,7 +20,11 @@ def _mk_graph(rng, n=50, e=300, pos_dim=2, gdata=None):
     return precompute(g, dense=False, pallas=True, tn=8, te=64)
 
 
-def _run_both(layer, x, extra_graph=None, seed=0):
+def _run_both(layer, x, extra_graph=None, seed=0, bwd_mode=None):
+    """xla layer path vs the fused path; ``bwd_mode`` pins NGPDE_FUSED_BWD
+    for the fused side (None = the default backend)."""
+    import os
+
     rng = np.random.default_rng(seed)
     g = extra_graph if extra_graph is not None else _mk_graph(rng)
     ps, st = setup(jax.random.PRNGKey(seed), layer)
@@ -37,12 +41,16 @@ def _run_both(layer, x, extra_graph=None, seed=0):
     finally:
         set_spmm_mode("auto")
     set_spmm_mode("pallas")
+    if bwd_mode is not None:
+        os.environ["NGPDE_FUSED_BWD"] = bwd_mode
     try:
         with pltpu.force_tpu_interpret_mode():
             (lp, yp), gp = jax.value_and_grad(loss, argnums=(0, 1),
                                               has_aux=True)(ps, x)
     finally:
         set_spmm_mode("auto")
+        if bwd_mode is not None:
+            os.environ.pop("NGPDE_FUSED_BWD", None)
     return (np.asarray(yx), gx), (np.asarray(yp), gp)
 
 
@@ -62,6 +70,19 @@ def test_vmh_fused_matches_xla(aggr):
                     aggr=aggr)
     x = jnp.asarray(rng.normal(size=(50, 1)).astype(np.float32))
     (yx, gx), (yp, gp) = _run_both(layer, x)
+    np.testing.assert_allclose(yp, yx, atol=1e-4, rtol=1e-4)
+    _tree_close(gp, gx, atol=1e-3)
+
+
+@pytest.mark.parametrize("bwd_mode", ["xla", "pallas", "recompute"])
+def test_vmh_fused_backends_match_xla(bwd_mode):
+    """All three NGPDE_FUSED_BWD training backends (saved-activation XLA,
+    fused Pallas, XLA recompute) must produce the layer-path gradients."""
+    rng = np.random.default_rng(0)
+    layer = VMHConv(MLP((1 + 1 + 2, 16, 16, 8), "tanh"), MLP((1 + 8, 16, 1)),
+                    aggr="mean")
+    x = jnp.asarray(rng.normal(size=(50, 1)).astype(np.float32))
+    (yx, gx), (yp, gp) = _run_both(layer, x, bwd_mode=bwd_mode)
     np.testing.assert_allclose(yp, yx, atol=1e-4, rtol=1e-4)
     _tree_close(gp, gx, atol=1e-3)
 
@@ -159,11 +180,15 @@ def test_fused_backward_inside_checkpoint_adjoint():
         lx, gx = jax.value_and_grad(loss)(ps)
     finally:
         set_spmm_mode("auto")
+    import os
+
     set_spmm_mode("pallas")
+    os.environ["NGPDE_FUSED_BWD"] = "pallas"  # pin the fused Pallas bwd
     try:
         with pltpu.force_tpu_interpret_mode():
             lp, gp = jax.value_and_grad(loss)(ps)
     finally:
         set_spmm_mode("auto")
+        os.environ.pop("NGPDE_FUSED_BWD", None)
     np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
     _tree_close(gp, gx, atol=1e-4)

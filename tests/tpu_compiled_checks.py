@@ -247,8 +247,16 @@ def run_section(section: str) -> int:
                                     indices_are_sorted=True)
             return jnp.sum(y ** 2)
 
-        gp = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(feats, ws, bs)
-        gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(feats, ws, bs)
+        import os as _os
+
+        # this section hardware-verifies the FUSED Pallas backward (the
+        # r4 default training backend is the saved-activation XLA path)
+        _os.environ["NGPDE_FUSED_BWD"] = "pallas"
+        try:
+            gp = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(feats, ws, bs)
+            gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(feats, ws, bs)
+        finally:
+            _os.environ.pop("NGPDE_FUSED_BWD", None)
         for nm, a_, b_ in zip(("dfeats", "dws", "dbs"), gp, gr):
             for la, lb in zip(jax.tree_util.tree_leaves(a_),
                               jax.tree_util.tree_leaves(b_)):
