@@ -158,12 +158,16 @@ def run_section(section: str) -> int:
         r2_d = jnp.asarray(r2.astype(np.int32))
         wl, bl = pack_last_layer(W, b, ci, co)
 
+        # the reference must request HIGHEST too — plain dots default to
+        # bf16-truncated MXU passes (same lesson as the fusedmlp section)
+        _hi2 = jax.lax.Precision.HIGHEST
+
         @jax.jit
         def gno_ref(act, h):
             # row-major reshape semantics: flat[i*out + o] = K[i, o]
-            kmat = (jnp.dot(act, W) + b).reshape(e2, ci, co)
+            kmat = (jnp.dot(act, W, precision=_hi2) + b).reshape(e2, ci, co)
             hj = jnp.take(h, s2_d, axis=0)
-            m = jnp.einsum("eio,ei->eo", kmat, hj)
+            m = jnp.einsum("eio,ei->eo", kmat, hj, precision=_hi2)
             return jax.ops.segment_sum(m, r2_d, num_segments=n2,
                                        indices_are_sorted=True)
 
@@ -179,10 +183,11 @@ def run_section(section: str) -> int:
                                                s2_d)[:n2] ** 2)
 
         def gno_loss_ref(a, hh, w3, b3):
-            kmat = (jnp.dot(a, w3.transpose(1, 0, 2).reshape(hid, -1))
+            kmat = (jnp.dot(a, w3.transpose(1, 0, 2).reshape(hid, -1),
+                            precision=_hi2)
                     + b3[:, 0, :].reshape(1, -1)).reshape(e2, ci, co)
             hj = jnp.take(hh, s2_d, axis=0)
-            m = jnp.einsum("eio,ei->eo", kmat, hj)
+            m = jnp.einsum("eio,ei->eo", kmat, hj, precision=_hi2)
             y = jax.ops.segment_sum(m, r2_d, num_segments=n2,
                                     indices_are_sorted=True)
             return jnp.sum(y ** 2)
