@@ -218,6 +218,7 @@ if __name__ == "__main__":
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--ckpt-steps", type=int, default=128)
     p.add_argument("--rtol", type=float, default=1e-5)
+    p.add_argument("--atol", type=float, default=1e-3)
     p.add_argument("--accum", type=int, default=4)
     p.add_argument("--ckpt-path", default="")
     p.add_argument("--heartbeat", type=float, default=0.0)
@@ -228,5 +229,5 @@ if __name__ == "__main__":
                 epochs=args.epochs, optimizer=args.optimizer,
                 adjoint=args.adjoint, log_path=args.log_path,
                 log_every=args.log_every, checkpoint_steps=args.ckpt_steps,
-                rtol=args.rtol, accum=args.accum, ckpt_path=args.ckpt_path,
-                heartbeat=args.heartbeat))
+                rtol=args.rtol, atol=args.atol, accum=args.accum,
+                ckpt_path=args.ckpt_path, heartbeat=args.heartbeat))
