@@ -74,8 +74,15 @@ def flat(g):
     return np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(g)])
 
 
+import sys as _sys
+
+_levels = [(1e-5, 128), (1e-6, 192), (1e-7, 256)]
+if len(_sys.argv) > 1 and _sys.argv[1] == "tight":
+    # is rtol=1e-7 itself sign-converged? compare against 1e-8
+    _levels = [(1e-6, 192), (1e-7, 256), (1e-8, 384)]
+
 results = {}
-for rtol, chk in [(1e-5, 128), (1e-6, 192), (1e-7, 256)]:
+for rtol, chk in _levels:
     try:
         g, mse, tc, tw = fullbatch_grad(rtol, chk)
         gf = flat(g)
@@ -88,12 +95,12 @@ for rtol, chk in [(1e-5, 128), (1e-6, 192), (1e-7, 256)]:
         print(f"rtol={rtol:g} chk={chk}: FAILED {type(e).__name__}: {e}",
               flush=True)
 
-keys = sorted(results)
-ref = results[keys[-1]]  # tightest rtol as truth
-for k in keys[:-1]:
+keys = sorted(results)  # ascending -> keys[0] is the TIGHTEST rtol
+ref = results[keys[0]]  # tightest rtol as truth
+for k in keys[1:]:
     a, b = results[k], ref
     nz = (np.abs(b) > 0)
     agree = float((np.sign(a[nz]) == np.sign(b[nz])).mean())
     rel = float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30))
-    print(f"sign agreement rtol={k:g} vs {keys[-1]:g}: {agree:.4f}  "
+    print(f"sign agreement rtol={k:g} vs {keys[0]:g}: {agree:.4f}  "
           f"rel L2 diff: {rel:.3e}", flush=True)

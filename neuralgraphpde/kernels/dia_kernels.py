@@ -40,17 +40,22 @@ from .banded_kernels import _EPILOGUE_ACTS, _act_grad_from_y
 TF_MAX = 512
 
 
-def _pick_tiles(bandwidth: int, padded_nodes: int, tf: int,
-                out_w: int) -> Optional[tuple]:
+def _pick_tiles(bandwidth: int, padded_nodes: int, tf: int, out_w: int,
+                in_itemsize: int, out_itemsize: int,
+                n_diags: int) -> Optional[tuple]:
     """Row tile + HALO block sizing ``(tn, hb)``.
 
     The naive scheme reads three FULL tn-blocks per tile (3× x traffic).
     With a thin halo block ``hb ≥ bandwidth`` and a larger row tile
     ``tn = R·hb``, each tile reads ``tn + 2·hb`` rows — factor
-    ``1 + 2/R`` instead of 3. On the 512² bench mesh (W=513 → hb=1024,
-    tn=4096) that cuts x reads 2×, and x is the dominant stream of this
-    bandwidth-bound kernel. VMEM caps R; falls back to R=1 (≡ the old
-    3-block scheme) and ultimately None when nothing fits."""
+    ``1 + 2/R`` instead of 3, and x is the dominant stream of this
+    bandwidth-bound kernel. The VMEM model must count what the chip
+    actually allocates (measured 26 MB vs a naive 9 MB estimate on v5e):
+    every streamed input AND the output are double-buffered by the Pallas
+    pipeline in their storage dtype, plus the kernel's f32 window copy and
+    f32 accumulator. Scoped VMEM is 16 MB; budget 12 MB. Falls back to
+    R=1 (≡ the old 3-block scheme) and ultimately None when nothing
+    fits."""
     hb = 512
     while hb < bandwidth:
         hb *= 2
@@ -60,9 +65,10 @@ def _pick_tiles(bandwidth: int, padded_nodes: int, tf: int,
         tn = R * hb
         if tn > 8192 or padded_nodes % tn != 0:
             continue
-        # f32 window + f32 out tile + epilogue weight, generous margin
-        vmem = ((tn + 2 * hb) * tf + tn * max(out_w, tf)) * 4
-        if vmem <= 12 * 2**20:
+        buffered_in = 2 * (tn * n_diags + (tn + 2 * hb) * tf) * in_itemsize
+        buffered_out = 2 * tn * out_w * out_itemsize
+        scratch = ((tn + 2 * hb) * tf + tn * max(tf, out_w)) * 4
+        if buffered_in + buffered_out + scratch <= 12 * 2**20:
             return tn, hb
     return None
 
@@ -140,7 +146,9 @@ def _dia_rhs_fwd(dm: DiaMatrix, x: jax.Array, w: Optional[jax.Array],
     if w is not None and dm.values.dtype == jnp.bfloat16:
         w = w.astype(jnp.bfloat16)
 
-    tiles = _pick_tiles(W, n_pad, tf, out_w)
+    osz = (jnp.dtype(out_dtype).itemsize if out_dtype is not None else 4)
+    tiles = _pick_tiles(W, n_pad, tf, out_w, jnp.dtype(x.dtype).itemsize,
+                        osz, K)
     if tiles is None:
         raise ValueError(f"bandwidth {W} too large for the DIA kernel")
     tn, hb = tiles

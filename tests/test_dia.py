@@ -194,7 +194,8 @@ def test_halo_block_window_multi_tile():
     g, s, r = _grid(128, 128)
     dm = build_dia(s, r, g.num_nodes)
     from neuralgraphpde.kernels.dia_kernels import _pick_tiles
-    tn, hb = _pick_tiles(dm.bandwidth, dm.padded_nodes, 8, 8)
+    tn, hb = _pick_tiles(dm.bandwidth, dm.padded_nodes, 8, 8, 4, 4,
+                         len(dm.offsets))
     assert hb < tn and dm.padded_nodes // tn >= 2, (tn, hb)
     x = jnp.asarray(np.random.default_rng(9)
                     .normal(size=(g.num_nodes, 8)).astype(np.float32))
