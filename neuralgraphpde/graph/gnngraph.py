@@ -197,18 +197,21 @@ class GnnGraph:
         ``to_dense_adjacency``), receiver-sorted by construction. Non-unit
         entries are stored in ``edata['e']`` — the stored-edge-weight slot
         ``GCNConv(use_edge_weight=True)`` reads; ``store_weights`` forces
-        storing (True) or dropping (False) the values."""
+        storing (True) or dropping (False) the values. Thin constructor
+        face of ``graph.transforms.from_dense_adjacency``."""
+        from .transforms import from_dense_adjacency
+
         A = np.asarray(adj)
         if A.ndim != 2 or A.shape[0] != A.shape[1]:
             raise ValueError(f"adjacency must be square 2-D, got {A.shape}")
-        r, s = np.nonzero(A)  # row-major scan -> receivers ascending
-        w = np.asarray(A[r, s], np.float32)
-        if store_weights is None:
-            store_weights = bool((w != 1.0).any())
-        edata = {"e": jnp.asarray(w[:, None])} if store_weights else None
-        return cls.from_coo(s.astype(np.int32), r.astype(np.int32),
-                            num_nodes=A.shape[0], ndata=ndata, edata=edata,
-                            gdata=gdata)
+        g = from_dense_adjacency(A, ndata=ndata, gdata=gdata)
+        if store_weights is True and "e" not in g.edata:
+            g = g.replace(edata={"e": jnp.ones((g.num_edges, 1),
+                                               jnp.float32)})
+        elif store_weights is False and "e" in g.edata:
+            g = g.replace(edata={k: v for k, v in g.edata.items()
+                                 if k != "e"})
+        return g
 
     def replace(self, **kwargs) -> "GnnGraph":
         """Constructor-copy with feature overrides.
