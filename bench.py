@@ -53,7 +53,12 @@ import time
 
 MESH_NX = MESH_NY = 512
 FEAT = 128
-ITERS_SHORT, ITERS_LONG = 4, 24
+# the differenced window (LONG-SHORT iterations) must dwarf relay jitter:
+# at 7G edges/s a pass is ~300 us, so 20 iters was a ~6 ms window and
+# ms-scale relay noise produced 2x spreads (r4 measurement); 96 iters puts
+# the fastest path at ~30 ms windows. Same compiled program either way —
+# the loop length is a traced operand.
+ITERS_SHORT, ITERS_LONG = 8, 104
 RAND_NODES = 1 << 18
 RAND_DEG = 16
 REORD_POINTS = 1 << 17
