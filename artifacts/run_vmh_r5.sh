@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-5 VMH protocol run (VERDICT r4 item 1): from scratch, 200 epochs,
+# rtol=1e-7 / abstol=1e-5 (the P1/P2-diagnosed setting that removes the
+# Rprop step-freeze at the abstol=1e-3 error floor), checkpoint-resume
+# across relay kills, StepHeartbeat armed (exit 86 -> supervisor resumes).
+cd /root/repo
+# Pin the ϕ-backend matmul precision to the r4 P1/P2-probe setting: the
+# monotone-descent evidence was gathered with default-precision XLA dots,
+# and the r5 library default changed to HIGHEST mid-run (ADVICE fix).
+# Resumed attempts must trace the same program as attempt 1.
+export NGPDE_XLA_PRECISION=default
+LOG=artifacts/vmh_parity_r5.jsonl
+CKPT=artifacts/vmh_parity_r5.ckpt.pkl
+for attempt in $(seq 1 60); do
+  echo "=== attempt $attempt $(date -u +%H:%M:%S) ===" >> artifacts/vmh_parity_r5.log
+  timeout 7200 python examples/train_vmh.py \
+    --epochs 200 --rtol 1e-7 --atol 1e-5 --ckpt-steps 256 --accum 4 \
+    --log-every 1 --heartbeat 900 \
+    --log-path "$LOG" --ckpt-path "$CKPT" >> artifacts/vmh_parity_r5.log 2>&1
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    echo "=== done rc=0 $(date -u +%H:%M:%S) ===" >> artifacts/vmh_parity_r5.log
+    exit 0
+  fi
+  echo "=== died rc=$rc, resuming ===" >> artifacts/vmh_parity_r5.log
+  sleep 10
+done
+exit 1

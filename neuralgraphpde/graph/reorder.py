@@ -127,13 +127,18 @@ def bandwidth(senders, receivers) -> int:
     return int(np.abs(r - s).max())
 
 
-def reorder_graph(g: GnnGraph, order: np.ndarray) -> GnnGraph:
+def reorder_graph(g: GnnGraph, order: np.ndarray,
+                  return_edge_perm: bool = False):
     """Relabel nodes so old node ``order[k]`` becomes new node ``k``.
 
     ndata rows are permuted accordingly; edata/gdata are untouched (edges keep
     their identity, endpoints are relabeled); the result is receiver-sorted.
     Use ``permute_nodes(x, order)`` for external per-node arrays and
     ``unpermute_nodes(y, order)`` to map outputs back to the original ids.
+    The receiver re-sort PERMUTES EDGE ORDER: with ``return_edge_perm=True``
+    also returns that permutation (new edge slot ``k`` holds old edge
+    ``perm[k]``) so external per-edge arrays (runtime edge weights) can be
+    realigned.
     """
     order = np.asarray(order, np.int64)
     if order.shape != (g.num_nodes,):
@@ -152,6 +157,9 @@ def reorder_graph(g: GnnGraph, order: np.ndarray) -> GnnGraph:
         edata=dict(g.edata), gdata=dict(g.gdata),
         num_graphs=g.num_graphs, graph_indicator=gi,
     )
+    if return_edge_perm:
+        g3, eperm = sort_by_receiver(g2, return_perm=True)
+        return g3, np.asarray(eperm)
     return sort_by_receiver(g2)
 
 

@@ -42,7 +42,7 @@ TF_MAX = 512
 
 def _pick_tiles(bandwidth: int, padded_nodes: int, tf: int, out_w: int,
                 in_itemsize: int, out_itemsize: int,
-                n_diags: int) -> Optional[tuple]:
+                n_diags: int, wb_bytes: int = 0) -> Optional[tuple]:
     """Row tile + HALO block sizing ``(tn, hb)``.
 
     The naive scheme reads three FULL tn-blocks per tile (3× x traffic).
@@ -68,9 +68,67 @@ def _pick_tiles(bandwidth: int, padded_nodes: int, tf: int, out_w: int,
         buffered_in = 2 * (tn * n_diags + (tn + 2 * hb) * tf) * in_itemsize
         buffered_out = 2 * tn * out_w * out_itemsize
         scratch = ((tn + 2 * hb) * tf + tn * max(tf, out_w)) * 4
-        if buffered_in + buffered_out + scratch <= 12 * 2**20:
+        if (buffered_in + buffered_out + scratch + wb_bytes
+                <= 12 * 2**20):
             return tn, hb
     return None
+
+
+def dia_config_supported(bandwidth: int, padded_nodes: int, f: int,
+                         out_w: Optional[int], in_itemsize: int,
+                         out_itemsize: int, n_diags: int,
+                         fused: bool, wb_bytes: int = 0) -> bool:
+    """True when the Pallas stencil kernel (not the XLA fallback) will run
+    for this config — the kernel's REAL acceptance, for gates that want to
+    know which path they are buying (ADVICE r5: the old gates over-promised
+    and ``_dia_rhs_fwd`` crashed; it now falls back instead)."""
+    if fused:
+        return (f <= TF_MAX and _pick_tiles(
+            bandwidth, padded_nodes, f, out_w if out_w else f,
+            in_itemsize, out_itemsize, n_diags, wb_bytes) is not None)
+    for tf in _feature_tiles(f):
+        if _pick_tiles(bandwidth, padded_nodes, tf, tf, in_itemsize,
+                       out_itemsize, n_diags) is not None:
+            return True
+    return False
+
+
+def _feature_tiles(f: int):
+    """Non-fused feature-tile candidates, widest first: narrower tiles
+    trade grid steps for VMEM, keeping wide-bandwidth configs on the
+    kernel instead of spilling to the XLA fallback."""
+    cands = [f] if f <= TF_MAX else []
+    cands += [t for t in (256, 128) if t < min(f, TF_MAX + 1)]
+    return cands or [f]
+
+
+def _xla_stencil_fallback(dm: DiaMatrix, x: jax.Array,
+                          w: Optional[jax.Array], b: Optional[jax.Array],
+                          act, out_dtype) -> jax.Array:
+    """Exact XLA evaluation of ``_dia_rhs_fwd``'s contract for configs the
+    Pallas kernel's VMEM model rejects: f32-accumulated shifted adds plus
+    the same (W, b, act) epilogue. Same output shape/dtype as the kernel."""
+    n, F = dm.num_nodes, x.shape[1]
+    n_pad, W_bw = dm.padded_nodes, dm.bandwidth
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((W_bw, W_bw + n_pad - n), (0, 0)))
+    acc = jnp.zeros((n_pad, F), jnp.float32)
+    for k, d in enumerate(dm.offsets):
+        seg = jax.lax.dynamic_slice_in_dim(xp, W_bw + d, n_pad, axis=0)
+        acc = acc + dm.values[:, k][:, None].astype(jnp.float32) * seg
+    acc = acc[:n]
+    if act is False:  # plain SpMM
+        return acc.astype(out_dtype or jnp.float32)
+    h = acc
+    if w is not None:
+        prec = (jax.lax.Precision.HIGHEST
+                if w.dtype == jnp.float32 else None)
+        h = jnp.dot(h.astype(w.dtype), w,
+                    preferred_element_type=jnp.float32, precision=prec)
+    if b is not None:
+        h = h + b
+    h = _EPILOGUE_ACTS["identity" if act is None else act](h)
+    return h.astype(out_dtype or jnp.float32)
 
 
 def _make_dia_kernel(offsets, tn, hb, act, has_w, has_b):
@@ -131,26 +189,45 @@ def _dia_rhs_fwd(dm: DiaMatrix, x: jax.Array, w: Optional[jax.Array],
     K = len(dm.offsets)
 
     fused = act is not False
+    if w is not None and dm.values.dtype == jnp.bfloat16:
+        w = w.astype(jnp.bfloat16)
+    osz = (jnp.dtype(out_dtype).itemsize if out_dtype is not None else 4)
+    isz = jnp.dtype(x.dtype).itemsize
+    wb_bytes = 0
     if fused:
-        if F > TF_MAX:
-            raise ValueError(f"fused DIA RHS needs F <= {TF_MAX}, got {F}")
-        tf = F
+        if w is not None:
+            wb_bytes += 2 * w.size * jnp.dtype(w.dtype).itemsize
+        if b is not None:
+            wb_bytes += 2 * b.size * jnp.dtype(b.dtype).itemsize
+
+    tiles = tf = None
+    if fused:
+        if F <= TF_MAX:
+            tf = F
+            out_w = w.shape[1] if w is not None else tf
+            tiles = _pick_tiles(W, n_pad, tf, out_w, isz, osz, K, wb_bytes)
     else:
-        tf = F if F <= TF_MAX else 256
+        # narrower feature tiles trade grid steps for VMEM on
+        # wide-bandwidth configs
+        for tf_c in _feature_tiles(F):
+            tiles = _pick_tiles(W, n_pad, tf_c, tf_c, isz, osz, K)
+            if tiles is not None:
+                tf = tf_c
+                break
+    if tiles is None:
+        # Config outside the kernel's VMEM model (huge bandwidth / wide
+        # fused F): take the exact XLA stencil path with the same epilogue
+        # — the documented "exact path" semantics instead of a crash
+        # (ADVICE r5 high). Decided at trace time; shapes are static.
+        return _xla_stencil_fallback(dm, x[: dm.num_nodes, :F], w, b, act,
+                                     out_dtype)
+    if not fused:
         pad_f = (-F) % tf
         if pad_f:
             x = jnp.pad(x, ((0, 0), (0, pad_f)))
+        out_w = tf
     Fp = x.shape[1]
     n_ft = Fp // tf
-    out_w = w.shape[1] if (fused and w is not None) else tf
-    if w is not None and dm.values.dtype == jnp.bfloat16:
-        w = w.astype(jnp.bfloat16)
-
-    osz = (jnp.dtype(out_dtype).itemsize if out_dtype is not None else 4)
-    tiles = _pick_tiles(W, n_pad, tf, out_w, jnp.dtype(x.dtype).itemsize,
-                        osz, K)
-    if tiles is None:
-        raise ValueError(f"bandwidth {W} too large for the DIA kernel")
     tn, hb = tiles
     nb = n_pad // tn
     n_hb = n_pad // hb

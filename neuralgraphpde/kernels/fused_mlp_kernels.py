@@ -60,6 +60,23 @@ def supported_activation(name) -> bool:
     return name is None or (isinstance(name, str) and name in _ACTS)
 
 
+def _xla_dot_precision(dtype):
+    """Matmul precision for the XLA (non-Pallas) ϕ backends.
+
+    TPU default-precision matmuls truncate f32 operands to bf16 — the r2
+    lesson the Pallas kernels already encode (they request HIGHEST for
+    f32). The XLA saved-activation / recompute paths must match, or the
+    grad-context forward silently differs from the HIGHEST-precision
+    Pallas inference forward. bf16 inputs stay on the native single-pass
+    path. ``NGPDE_XLA_PRECISION=default`` opts a run out (6× fewer MXU
+    passes for f32; used by the r5 VMH protocol run for consistency with
+    the r4 P1/P2 probe evidence, which was gathered pre-fix)."""
+    if os.environ.get("NGPDE_XLA_PRECISION", "highest").lower() == "default":
+        return None
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 def _act(name):
     return _ACTS["identity" if name is None else name]
 
@@ -330,10 +347,11 @@ def _fwd(acts, feats, ws, bs, tiling):
     # the backward then costs no recompute.
     eidx, recv_glob, wm, feats_s, _ = _edge_expand(tiling, feats, None)
     h = feats_s
+    prec = _xla_dot_precision(feats.dtype)
     hs, zs = [], []
     for w, b, act in zip(ws, bs, acts):
         hs.append(h)
-        z = jnp.dot(h, w) + b
+        z = jnp.dot(h, w, precision=prec) + b
         zs.append(z)
         h = _act(act)(z)
     out = jax.ops.segment_sum(
@@ -349,16 +367,17 @@ def _bwd(acts, res, g_out):
         hs, zs = saved
         eidx, _, _, _, gm = _edge_expand(tiling, None, g_out)
         dh = gm.astype(jnp.float32)
+        prec = _xla_dot_precision(feats.dtype)
         dws, dbs = [None] * len(ws), [None] * len(bs)
         for layer in reversed(range(len(ws))):
             _, act_vjp = jax.vjp(_act(acts[layer]), zs[layer])
             dz = act_vjp(dh.astype(zs[layer].dtype))[0]
             dws[layer] = jnp.einsum(
-                "sf,sk->fk", hs[layer], dz,
+                "sf,sk->fk", hs[layer], dz, precision=prec,
                 preferred_element_type=jnp.float32).astype(ws[layer].dtype)
             dbs[layer] = jnp.sum(dz, axis=0, keepdims=True,
                                  dtype=jnp.float32).astype(bs[layer].dtype)
-            dh = jnp.dot(dz, ws[layer].T.astype(dz.dtype))
+            dh = jnp.dot(dz, ws[layer].T.astype(dz.dtype), precision=prec)
         dfeats = jax.ops.segment_sum(dh, eidx, num_segments=feats.shape[0])
         return (dfeats.astype(feats.dtype), tuple(dws), tuple(dbs),
                 _zeros_like_tree(tiling))
@@ -374,11 +393,12 @@ def _bwd_recompute_xla(acts, res, g_out):
     backprop). Kept for A/B against the other two backends."""
     feats, ws, bs, tiling = res
     eidx, _, _, feats_s, gm = _edge_expand(tiling, feats, g_out)
+    prec = _xla_dot_precision(feats.dtype)
 
     def edge_mlp(f, ws, bs):
         h = f
         for w, b, act in zip(ws, bs, acts):
-            h = _act(act)(jnp.dot(h, w) + b)
+            h = _act(act)(jnp.dot(h, w, precision=prec) + b)
         return h
 
     _, vjp = jax.vjp(edge_mlp, feats_s, ws, bs)

@@ -80,8 +80,11 @@ def _dia_ok(s, r, n) -> bool:
 
 def _try_auto_reorder(g: GnnGraph, tb: int):
     """RCM-renumber ``g`` when (and only when) that unlocks a banded/DIA
-    structure the graph doesn't have as labeled. Returns ``(graph, order)``
-    with ``order=None`` when no reorder was applied."""
+    structure the graph doesn't have as labeled. Returns ``(graph, order,
+    edge_perm)`` with ``order=None`` when no reorder was applied;
+    ``edge_perm`` is the receiver re-sort's edge permutation (new edge slot
+    ``k`` holds old edge ``edge_perm[k]``) so per-edge arrays supplied in
+    the ORIGINAL edge order can be realigned (ADVICE r5 medium)."""
     import numpy as np
 
     from ..graph.reorder import rcm_order, reorder_graph
@@ -92,9 +95,9 @@ def _try_auto_reorder(g: GnnGraph, tb: int):
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
     n = g.num_nodes
     if n < 4 * tb or g.num_edges == 0:
-        return g, None
+        return g, None, None
     if _block_bandable(s, r, n, tb) or _dia_ok(s, r, n):
-        return g, None  # already structured — nothing to unlock
+        return g, None, None  # already structured — nothing to unlock
     order = rcm_order(s, r, n)
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n, dtype=np.int64)
@@ -102,8 +105,9 @@ def _try_auto_reorder(g: GnnGraph, tb: int):
     if not (_block_bandable(s2, r2, n, tb,
                             max_bands=AUTO_REORDER_MAX_BANDS)
             or _dia_ok(s2, r2, n)):
-        return g, None  # expander-like: no narrow ordering exists
-    return reorder_graph(g, order), order
+        return g, None, None  # expander-like: no narrow ordering exists
+    g2, eperm = reorder_graph(g, order, return_edge_perm=True)
+    return g2, order, eperm
 
 
 def precompute(
@@ -160,8 +164,16 @@ def precompute(
 
         g = _asl(g)
     node_order = None
+    edge_perm = None
     if auto_reorder:
-        g, node_order = _try_auto_reorder(g, bsr_tb)
+        g, node_order, edge_perm = _try_auto_reorder(g, bsr_tb)
+        if edge_perm is not None and edge_weight is not None:
+            # the reorder re-sorted edges by the new receiver labels —
+            # realign caller-supplied weights (they arrive in the
+            # ORIGINAL edge order) before anything consumes them
+            edge_weight = jnp.take(jnp.asarray(edge_weight),
+                                   jnp.asarray(edge_perm, jnp.int32),
+                                   axis=0)
     if dense is None:
         dense = g.num_nodes <= dense_threshold_nodes
     if pallas is None:
@@ -174,14 +186,22 @@ def precompute(
         cache["node_order"] = jnp.asarray(node_order, jnp.int32)
     if add_self_loops:
         cache["self_looped"] = True
-        # where each *original* edge landed in the current (looped, sorted)
-        # edge order — lets runtime edge weights given for the original
-        # edges be scattered into place (loops get unit weight)
-        if perm is None:
+        # where each *original* edge landed in the current (looped,
+        # reordered, sorted) edge order — lets runtime edge weights given
+        # for the original edges be scattered into place (loops get unit
+        # weight). Compose the auto_reorder edge permutation with the
+        # later receiver sort (slot k of the final order holds old edge
+        # edge_perm[perm[k]]).
+        comb = edge_perm
+        if perm is not None:
+            comb = (np.asarray(perm) if comb is None
+                    else np.asarray(comb)[np.asarray(perm)])
+        if comb is None:
             pos = np.arange(orig_edges)
         else:
-            inv = np.empty(len(perm), np.int64)
-            inv[perm] = np.arange(len(perm))
+            comb = np.asarray(comb)
+            inv = np.empty(len(comb), np.int64)
+            inv[comb] = np.arange(len(comb))
             pos = inv[:orig_edges]
         cache["orig_edge_pos"] = jnp.asarray(pos, jnp.int32)
     from ..graph.transforms import degree as _degree

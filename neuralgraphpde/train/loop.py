@@ -130,7 +130,9 @@ class StepHeartbeat:
         self.on_stall = on_stall or self._default_on_stall
         self._poll_s = poll_s if poll_s is not None else \
             max(self.timeout_s / 4, 0.01)
-        self._last = time.time()
+        # monotonic: an NTP step must not fake a stall (abort_on_stall
+        # would os._exit a healthy run) or mask a real one
+        self._last = time.monotonic()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self.stalls = 0
@@ -143,15 +145,15 @@ class StepHeartbeat:
               "execute may be hung", file=sys.stderr, flush=True)
 
     def beat(self):
-        self._last = time.time()
+        self._last = time.monotonic()
 
     def _run(self):
         while not self._stop.wait(self._poll_s):
-            gap = time.time() - self._last
+            gap = time.monotonic() - self._last
             if gap > self.timeout_s:
                 self.stalls += 1
                 self.on_stall(gap)
-                self._last = time.time()  # re-arm
+                self._last = time.monotonic()  # re-arm
 
     def __enter__(self):
         self._thread.start()

@@ -228,3 +228,33 @@ def test_bf16_input_gives_bf16_output():
     assert y16.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(y16, np.float32),
                                np.asarray(y32), atol=2e-2)
+
+
+def test_rejected_config_falls_back_to_exact_xla():
+    """Configs outside the kernel's VMEM model (huge bandwidth) must take
+    the exact XLA stencil path — same values, no ValueError (r5 ADVICE:
+    _pick_tiles rejections used to crash GCNConv/spmm forwards)."""
+    from neuralgraphpde.kernels.dia_kernels import (_dia_rhs_fwd,
+                                                    dia_config_supported)
+    from neuralgraphpde.ops.dia import DiaMatrix
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    n_pad = n
+    vals = rng.normal(size=(n_pad, 3)).astype(np.float32)
+    dm = DiaMatrix(values=jnp.asarray(vals), offsets=(-6000, 0, 6000),
+                   num_nodes=n)
+    assert not dia_config_supported(dm.bandwidth, dm.padded_nodes, 512, 64,
+                                    4, 4, 3, True)
+    x = jnp.asarray(rng.normal(size=(n, 512)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(512, 64)) / 23).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32))
+    got = _dia_rhs_fwd(dm, x, w, b, act="tanh")
+    want = jnp.tanh(
+        jnp.dot(dia_spmm(dm, x), w,
+                precision=jax.lax.Precision.HIGHEST) + b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    got_p = _dia_rhs_fwd(dm, x, None, None, act=False)
+    np.testing.assert_allclose(np.asarray(got_p),
+                               np.asarray(dia_spmm(dm, x)), atol=1e-5)

@@ -143,3 +143,56 @@ def test_precompute_auto_reorder_skips_structured_mesh():
                     auto_reorder=True)
     assert "node_order" not in gp.cache
     assert "dia" in gp.cache
+
+
+def test_precompute_auto_reorder_realigns_edge_weights():
+    """auto_reorder re-sorts edges by the new receiver labels; supplied
+    edge weights arrive in the ORIGINAL edge order and must be realigned
+    before they are baked into in_degree / banded / DIA values (r5 ADVICE:
+    they silently applied to the wrong edges)."""
+    from neuralgraphpde.graph.transforms import degree
+    from neuralgraphpde.ops.spmm import precompute, spmm
+
+    g = _shuffled_delaunay(n=600, seed=5)
+    rng = np.random.default_rng(11)
+    ew = rng.uniform(0.5, 1.5, size=(g.num_edges,)).astype(np.float32)
+    gp = precompute(g, dense=False, pallas=False, bsr=True, bsr_tb=64,
+                    auto_reorder=True, edge_weight=jnp.asarray(ew))
+    assert "node_order" in gp.cache
+    order = np.asarray(gp.cache["node_order"])
+
+    # weighted in-degree must equal the original graph's, permuted
+    want_deg = np.asarray(degree(g, jnp.float32, direction="in",
+                                 edge_weight=jnp.asarray(ew)))
+    got_deg = np.asarray(gp.cache["in_degree"])
+    np.testing.assert_allclose(got_deg, permute_nodes(want_deg, order),
+                               rtol=1e-5)
+
+    # and the baked structured SpMM must equal the weighted reference
+    x = rng.normal(size=(g.num_nodes, 8)).astype(np.float32)
+    want = np.asarray(spmm_xla(g, jnp.asarray(x), jnp.asarray(ew)))
+    got = unpermute_nodes(
+        np.asarray(spmm(gp, jnp.asarray(permute_nodes(x, order)))), order)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_precompute_auto_reorder_orig_edge_pos_composed():
+    """cache['orig_edge_pos'] must survive the auto_reorder edge
+    permutation: the slot it names for original edge i must connect
+    (relabeled) s_i -> r_i, so runtime GCN edge weights scatter onto the
+    right edges."""
+    from neuralgraphpde.ops.spmm import precompute
+
+    g = _shuffled_delaunay(n=600, seed=7)
+    s, r = edges_numpy(g)
+    orig_edges = g.num_edges
+    gp = precompute(g, dense=False, pallas=False, bsr=True, bsr_tb=64,
+                    auto_reorder=True, add_self_loops=True)
+    assert "node_order" in gp.cache and "orig_edge_pos" in gp.cache
+    order = np.asarray(gp.cache["node_order"])
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    pos = np.asarray(gp.cache["orig_edge_pos"])
+    s2, r2 = edges_numpy(gp)
+    np.testing.assert_array_equal(s2[pos], inv[s[:orig_edges]])
+    np.testing.assert_array_equal(r2[pos], inv[r[:orig_edges]])

@@ -267,6 +267,20 @@ def run_section(section: str) -> int:
                               jax.tree_util.tree_leaves(b_)):
                 check(f"fused_mlp_bwd_{nm}", la, lb, 2e-3, failures)
 
+        # the DEFAULT training backend (saved-activation XLA) must ALSO
+        # match at HIGHEST precision on-chip (r5 ADVICE fix: its dots used
+        # to run default-precision, bf16-truncating f32 operands — CPU
+        # tests cannot catch that)
+        _os.environ["NGPDE_FUSED_BWD"] = "xla"
+        try:
+            gx = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(feats, ws, bs)
+        finally:
+            _os.environ.pop("NGPDE_FUSED_BWD", None)
+        for nm, a_, b_ in zip(("dfeats", "dws", "dbs"), gx, gr):
+            for la, lb in zip(jax.tree_util.tree_leaves(a_),
+                              jax.tree_util.tree_leaves(b_)):
+                check(f"fused_mlp_xla_bwd_{nm}", la, lb, 2e-4, failures)
+
     elif section == "dia":
         from neuralgraphpde.graph.builders import grid_graph_2d
         from neuralgraphpde.kernels.dia_kernels import dia_spmm_pallas
