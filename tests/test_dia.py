@@ -258,3 +258,27 @@ def test_rejected_config_falls_back_to_exact_xla():
     got_p = _dia_rhs_fwd(dm, x, None, None, act=False)
     np.testing.assert_allclose(np.asarray(got_p),
                                np.asarray(dia_spmm(dm, x)), atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["concat32", "phase", "store",
+                                     "phase_store"])
+def test_stencil_body_variants_match(variant, monkeypatch):
+    """All stencil-body strategies (NGPDE_DIA_VARIANT — the r5 A/B lever:
+    phase-grouped sublane-aligned slices, storage-dtype window) must agree
+    with the XLA stencil for f32 and bf16 storage."""
+    monkeypatch.setenv("NGPDE_DIA_VARIANT", variant)
+    jax.clear_caches()
+    g, s, r = _grid(32, 32)
+    rng = np.random.default_rng(0)
+    for dt, tol in ((np.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        dm = build_dia(s, r, g.num_nodes, dtype=dt)
+        x = jnp.asarray(rng.normal(size=(g.num_nodes, 32))
+                        .astype(np.float32)).astype(dt)
+        want = np.asarray(dia_spmm(dm, x), np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(_dia_rhs_fwd(dm, x, None, None, act=False,
+                                          interpret=True),
+                             np.float32)[: g.num_nodes]
+        denom = max(float(np.max(np.abs(want))), 1e-9)
+        assert np.max(np.abs(got - want)) / denom < tol, (variant, dt)
+    jax.clear_caches()

@@ -593,3 +593,40 @@ def test_row_parallel_pairing_with_2d_spmm():
                            axis_name="model", x_specs=P("graph", "model"))
     assert y.sharding.spec == P("graph", None)
     assert np.allclose(np.asarray(y)[: g.num_nodes], want, atol=1e-4)
+
+
+def test_neighbor_only_halo_detection_and_parity(mesh):
+    """Strip partitions of a grid mesh only exchange with adjacent
+    partitions: partition_graph must flag halo_neighbor_only, and the
+    2-ppermute exchange must match the dense all_to_all bit-for-bit
+    (forward and gradient) — it ships 2·H rows instead of (P-1)·H."""
+    import dataclasses
+
+    from neuralgraphpde.graph.builders import grid_graph_2d
+
+    g = grid_graph_2d(64, 16, diagonals=True)
+    pg = partition_graph(g, 8, halo=True)
+    assert pg.halo_neighbor_only
+    # uniform random graphs exchange with everyone — flag must stay off
+    gr = rand_graph(512, 512 * 8, seed=0)
+    assert not partition_graph(gr, 8, halo=True).halo_neighbor_only
+
+    # force the same pg through the dense all_to_all for the reference
+    pg_dense = dataclasses.replace(pg, halo_neighbor_only=False)
+    x_np = np.random.default_rng(0).normal(
+        size=(g.num_nodes, 16)).astype(np.float32)
+    x = shard_node_features(pad_node_features(x_np, pg), pg, mesh)
+
+    def run(p):
+        return sharded_spmm(p, x, mesh)
+
+    got = np.asarray(run(pg))
+    want = np.asarray(run(pg_dense))
+    np.testing.assert_array_equal(got, want)
+
+    def loss(p, v):
+        return jnp.sum(jnp.tanh(sharded_spmm(p, v, mesh)) ** 2)
+
+    gv = np.asarray(jax.grad(lambda v: loss(pg, v))(x))
+    wv = np.asarray(jax.grad(lambda v: loss(pg_dense, v))(x))
+    np.testing.assert_allclose(gv, wv, rtol=1e-6, atol=1e-6)
