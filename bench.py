@@ -68,7 +68,7 @@ TOTAL_TIMEOUT_S = int(os.environ.get("NGPDE_BENCH_TIMEOUT", "1700"))
 # trimmed to the non-dominated paths — banded_bf16/fused_bf16 are strictly
 # dominated by the DIA stencil on this mesh (BENCH_r03) and are covered by
 # tests; vmh (the fused edge-MLP evidence) gets its own protected budget.
-BUDGET_S = {"mesh": 600, "vmh": 600, "reord": 250, "rand": 200}
+BUDGET_S = {"mesh": 600, "vmh": 600, "reord": 290, "rand": 180}
 JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "tcsr_bf16")),
         # vmh: xla/fused = forward-only pair (fused Pallas kernel);
         # *_grad = training path (fused_grad rides the r4 DEFAULT
@@ -79,7 +79,7 @@ JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "tcsr_bf16")),
         # reord: scrambled-label Delaunay mesh — the auto_reorder lever
         # (precompute(auto_reorder=True)): RCM relabel -> banded kernel vs
         # the gather paths on the same graph as labeled
-        ("reord", ("xla", "tcsr_bf16", "auto")),
+        ("reord", ("xla", "tcsr_bf16", "auto", "auto_dense")),
         # rand: uniform random graph — gather-path regression tracking plus
         # the measured random-row-gather BOUND that justifies tiled-CSR on
         # expander graphs (no narrow ordering exists; see graph/reorder.py)
@@ -212,13 +212,8 @@ def _worker(outfile: str, tag: str, paths) -> None:
 
         return rhs, bm
 
-    def make_auto_rhs():
-        """The auto_reorder lever end to end: RCM on the scrambled-label
-        mesh, then the fused normalized-banded GCN RHS on the relabeled
-        graph — what ``precompute(auto_reorder=True, gcn_fused=True)``
-        attaches (ops/spmm.py)."""
+    def _rcm_norm_edges():
         from neuralgraphpde.graph.reorder import rcm_order
-        from neuralgraphpde.kernels.banded_kernels import _banded_rhs_fwd
 
         order = rcm_order(s_np, r_np, n)
         inv = np.empty(n, np.int64)
@@ -228,8 +223,36 @@ def _worker(outfile: str, tag: str, paths) -> None:
         deg2 = np.bincount(r2, minlength=n).astype(np.float64)
         c2 = np.where(deg2 > 0, 1.0 / np.sqrt(np.maximum(deg2, 1e-30)), 0.0)
         w2 = (c2[r2] * c2[s2]).astype(np.float32)
+        return s2, r2, w2
+
+    def make_auto_rhs():
+        """The auto_reorder lever end to end: RCM on the scrambled-label
+        mesh, then the fused normalized PACKED-band GCN RHS on the
+        relabeled graph — what ``precompute(auto_reorder=True,
+        gcn_fused=True)`` attaches since r5 (the dense diagonals it used
+        before stream 811x zeros here; see auto_dense for the A/B)."""
+        from neuralgraphpde.kernels.banded_kernels import _pbanded_rhs_fwd
+        from neuralgraphpde.ops.bsr import build_packed_banded
+
+        s2, r2, w2 = _rcm_norm_edges()
+        pb = build_packed_banded(s2, r2, n, tb=128, edge_weight=w2,
+                                 dtype=jnp.bfloat16)
+        if pb is None:
+            return None, None
+        emit(f"INFO reord packed: S={pb.blocks.shape[0]} nb={pb.nb}")
+
+        def rhs(v, st):
+            return _pbanded_rhs_fwd(st, v, w, None, act="tanh")
+
+        return rhs, pb
+
+    def make_auto_dense_rhs():
+        """r4 'auto' formulation (dense diagonal bands, TB=256) kept as the
+        packed-vs-dense A/B on identical shapes."""
+        from neuralgraphpde.kernels.banded_kernels import _banded_rhs_fwd
         from neuralgraphpde.ops.spmm import AUTO_REORDER_MAX_BANDS
 
+        s2, r2, w2 = _rcm_norm_edges()
         bm = build_banded(s2, r2, n, tb=256, edge_weight=w2,
                           dtype=jnp.bfloat16,
                           max_bands=AUTO_REORDER_MAX_BANDS)
@@ -278,8 +301,9 @@ def _worker(outfile: str, tag: str, paths) -> None:
                 if full_rhs is None:
                     emit(f"FAIL {tag} {path} NotBanded")
                     continue
-            elif path == "auto":
-                full_rhs, struct = make_auto_rhs()
+            elif path in ("auto", "auto_dense"):
+                full_rhs, struct = (make_auto_rhs() if path == "auto"
+                                    else make_auto_dense_rhs())
                 spmm = None
                 if full_rhs is None:
                     emit(f"FAIL {tag} {path} NotBandedAfterRCM")

@@ -168,6 +168,85 @@ def _bwd(res, g):
 banded_spmm_pallas.defvjp(_fwd, _bwd)
 
 
+# ------------------------------------------- packed (row-list) block bands
+# Same kernel bodies, different addressing: block-row ``i`` streams its own
+# nonzero blocks (slot-major), and the x-block index comes from the
+# prefetched ``cols`` table instead of a static diagonal offset. This is
+# the post-RCM unstructured-mesh path: the r5 profile showed the dense
+# diagonals of ``BandedMatrix`` were 811× zero-inflated there and the value
+# stream dominated 2:1 (ROADMAP r5) — packing at TB=128 cuts it ~2.2×.
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pbanded_spmm_fwd(pb, x: jax.Array, interpret: bool = False) -> jax.Array:
+    from ..ops.bsr import PackedBanded  # noqa: F401 (type only)
+
+    out_dtype = x.dtype
+    nb, tb = pb.nb, pb.tb
+    S = pb.blocks.shape[0]
+    n_pad = nb * tb
+    if x.shape[0] != n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    if pb.blocks.dtype != x.dtype:
+        x = x.astype(pb.blocks.dtype)
+    F = x.shape[1]
+    tf = F if F <= TF_MAX else 256
+    pad_f = (-F) % tf
+    if pad_f:
+        x = jnp.pad(x, ((0, 0), (0, pad_f)))
+    Fp = F + pad_f
+    n_ft = Fp // tf
+
+    def x_index(f, i, s, cols_ref):
+        return (cols_ref[i, s], f)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ft, nb, S),
+        in_specs=[
+            pl.BlockSpec((1, 1, tb, tb), lambda f, i, s, c: (s, i, 0, 0)),
+            pl.BlockSpec((tb, tf), x_index),
+        ],
+        out_specs=pl.BlockSpec((tb, tf), lambda f, i, s, c: (i, f)),
+    )
+    out = pl.pallas_call(
+        _banded_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, Fp), jnp.float32),
+        interpret=interpret,
+    )(pb.cols, pb.blocks, x)
+    out = out[:, :F] if pad_f else out
+    return out[: pb.num_nodes].astype(out_dtype)
+
+
+@jax.custom_vjp
+def pbanded_spmm_pallas(x: jax.Array, pb, pb_rev=None) -> jax.Array:
+    """Differentiable packed-band SpMM ``A @ x``; ``pb_rev`` (= Aᵀ packed,
+    ``ops.bsr.transpose_packed_banded``) makes the backward a second
+    streaming pass."""
+    return _pbanded_spmm_fwd(pb, x)
+
+
+def _pb_fwd(x, pb, pb_rev):
+    return _pbanded_spmm_fwd(pb, x), (pb, pb_rev, x.shape[0])
+
+
+def _pb_bwd(res, g):
+    pb, pb_rev, n_in = res
+    from .segment_kernels import _zeros_like_tree
+
+    if pb_rev is None:
+        raise NotImplementedError(
+            "pbanded backward needs the prebuilt transpose (pb_rev); "
+            "ops.precompute stores cache['pbanded_rev']")
+    gx = _pbanded_spmm_fwd(pb_rev, g)[:n_in]
+    return (gx.astype(g.dtype), _zeros_like_tree(pb),
+            _zeros_like_tree(pb_rev))
+
+
+pbanded_spmm_pallas.defvjp(_pb_fwd, _pb_bwd)
+
+
 # ----------------------------------------------- fused GCN RHS (epilogue)
 # Degree normalization is baked into the band VALUES at precompute time
 # (``ops.precompute(gcn_fused=True)`` stores C·Ã·C, C = D^-1/2), and the GCN
@@ -340,3 +419,99 @@ def _rhs_vjp_bwd(act, res, g):
 
 
 banded_gcn_rhs.defvjp(_rhs_vjp_fwd, _rhs_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret"))
+def _pbanded_rhs_fwd(pb, x: jax.Array, w: Optional[jax.Array],
+                     b: Optional[jax.Array], act=None,
+                     interpret: bool = False) -> jax.Array:
+    """Fused GCN RHS on packed block bands (same epilogue contract as
+    ``_banded_rhs_fwd``)."""
+    nb, tb = pb.nb, pb.tb
+    S = pb.blocks.shape[0]
+    n_pad = nb * tb
+    if x.shape[0] != n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    if pb.blocks.dtype != x.dtype:
+        x = x.astype(pb.blocks.dtype)
+    F = x.shape[1]
+    if F > TF_MAX:
+        raise ValueError(f"fused RHS needs F <= {TF_MAX}, got {F}")
+    out_w = w.shape[1] if w is not None else F
+    if w is not None and pb.blocks.dtype == jnp.bfloat16:
+        w = w.astype(jnp.bfloat16)
+
+    def x_index(i, s, cols_ref):
+        return (cols_ref[i, s], 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tb, tb), lambda i, s, c: (s, i, 0, 0)),
+        pl.BlockSpec((tb, F), x_index),
+    ]
+    args = [pb.blocks, x]
+    if w is not None:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i, s, c: (0, 0)))
+        args.append(w)
+    if b is not None:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i, s, c: (0, 0)))
+        args.append(b)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, out_w), lambda i, s, c: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((tb, F), jnp.float32)],
+    )
+    kernel = _make_rhs_kernel(S, act, w is not None, b is not None)
+
+    def body(cols_ref, blocks_ref, x_ref, *rest):
+        kernel(cols_ref, blocks_ref, x_ref, *rest[:-1], acc_ref=rest[-1])
+
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_w), jnp.float32),
+        interpret=interpret,
+    )(pb.cols, *args)
+    return out[: pb.num_nodes]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pbanded_gcn_rhs(act, x, w, b, pb, pb_rev):
+    """Fused ``σ((Ĉ·x)·W + b)`` on packed block bands — the post-RCM
+    unstructured-mesh analog of ``banded_gcn_rhs`` (same out<in pre-multiply
+    convention; ``cache['pbanded_norm']``)."""
+    return _pbanded_rhs_fwd(pb, x, w, b, act=act)
+
+
+def _prhs_vjp_fwd(act, x, w, b, pb, pb_rev):
+    y = _pbanded_rhs_fwd(pb, x, w, b, act=act)
+    return y, (x, w, b, pb, pb_rev, y)
+
+
+def _prhs_vjp_bwd(act, res, g):
+    x, w, b, pb, pb_rev, y = res
+    from .segment_kernels import _zeros_like_tree
+
+    dz = g * _act_grad_from_y(act, y)
+    db = None if b is None else jnp.sum(dz, axis=0, keepdims=True).astype(
+        b.dtype)
+    if w is not None:
+        agg = _pbanded_spmm_fwd(pb, x)
+        dw = jnp.dot(agg.T, dz,
+                     preferred_element_type=jnp.float32).astype(w.dtype)
+        gup = jnp.dot(dz, w.T.astype(dz.dtype),
+                      preferred_element_type=jnp.float32)
+    else:
+        dw = None
+        gup = dz
+    if pb_rev is None:
+        raise NotImplementedError(
+            "pbanded backward needs the prebuilt transpose (pb_rev)")
+    dx = _pbanded_spmm_fwd(pb_rev, gup)[: x.shape[0]]
+    return (dx.astype(x.dtype), dw, db, _zeros_like_tree(pb),
+            _zeros_like_tree(pb_rev))
+
+
+pbanded_gcn_rhs.defvjp(_prhs_vjp_fwd, _prhs_vjp_bwd)

@@ -329,7 +329,8 @@ class GCNConv(AbstractGNNLayer):
                     (g.num_edges,), edge_weight.dtype).at[pos].set(edge_weight)
 
         if (edge_weight is None and not self.use_edge_weight
-                and ("banded_norm" in g.cache or "dia_norm" in g.cache)
+                and ("banded_norm" in g.cache or "dia_norm" in g.cache
+                     or "pbanded_norm" in g.cache)
                 and x.ndim == 2):
             # fully-fused RHS: degree normalization lives in the stored
             # matrix values (precompute(gcn_fused=True));
@@ -355,6 +356,13 @@ class GCNConv(AbstractGNNLayer):
 
                     nrm = g.cache["dia_norm"]
                     nrm_rev = g.cache.get("dia_norm_rev")
+                elif "pbanded_norm" in g.cache:
+                    from ..kernels.banded_kernels import (
+                        pbanded_gcn_rhs as rhs_fn,
+                    )
+
+                    nrm = g.cache["pbanded_norm"]
+                    nrm_rev = g.cache.get("pbanded_norm_rev")
                 else:
                     rhs_fn = banded_gcn_rhs
                     nrm = g.cache["banded_norm"]

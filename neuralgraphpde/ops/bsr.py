@@ -203,6 +203,116 @@ def build_banded(
                         nb=nb, tb=tb, num_nodes=num_nodes)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True, eq=False)
+class PackedBanded:
+    """Row-packed block-band storage: block-row ``i`` holds its NONZERO
+    blocks only, in slots ``s`` with absolute block-column ``cols[i, s]``
+    (self-column padding on unused slots — the padded block is zero).
+
+    Motivation (r5 reord profile): after RCM, an unstructured Delaunay mesh
+    needs ~19 dense block-diagonals at TB=256 of which each block-row
+    populates ~9 — the dense-diagonal ``BandedMatrix`` streams 811× zeros
+    for it (bands are the DOMINANT traffic of the banded kernel, 2:1 over
+    x). Packing by row at TB=128 cuts the value stream ~2.2× on the bench
+    graph; the kernel is unchanged except that the x-block index comes from
+    the prefetched ``cols`` instead of a static diagonal offset. Grid
+    meshes populate every diagonal, so DIA/banded stay preferred there."""
+
+    blocks: jax.Array  # (S, nb, TB, TB) — slot-major, like bands
+    cols: jax.Array  # (nb, S) int32 absolute block-column (pad: own row)
+    nb: int
+    tb: int
+    num_nodes: int
+
+    def tree_flatten(self):
+        return ((self.blocks, self.cols), (self.nb, self.tb,
+                                           self.num_nodes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def build_packed_banded(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    tb: int = 128,
+    edge_weight: Optional[np.ndarray] = None,
+    max_slots: int = 32,
+    dtype=np.float32,
+) -> Optional[PackedBanded]:
+    """Row-packed block storage; None when some block-row needs more than
+    ``max_slots`` nonzero blocks (not bandwidth-limited under this tb)."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    E = senders.shape[0]
+    w = (np.ones(E, np.float32) if edge_weight is None
+         else np.asarray(edge_weight, np.float32).reshape(-1))
+    nb = -(-num_nodes // tb)
+    rb = receivers // tb
+    cb = senders // tb
+    # unique (block-row, block-col) pairs -> slot ranks within the row
+    key = rb * nb + cb
+    uniq, inv = np.unique(key, return_inverse=True)
+    if len(uniq) == 0:
+        return None
+    u_r = uniq // nb
+    u_c = uniq % nb
+    first = np.concatenate([[0], np.flatnonzero(np.diff(u_r)) + 1])
+    gid = np.searchsorted(first, np.arange(len(uniq)), side="right") - 1
+    rank = np.arange(len(uniq)) - first[gid]
+    per_row = np.diff(np.concatenate([first, [len(uniq)]]))
+    S = int(per_row.max())
+    if S > max_slots:
+        return None
+    # pad slots point at the row's own block (the padded block is zero)
+    cols = np.tile(np.arange(nb, dtype=np.int64)[:, None], (1, S))
+    cols[u_r, rank] = u_c
+    slot_of_edge = rank[inv]
+    rloc = receivers - rb * tb
+    cloc = senders - cb * tb
+    flat = ((slot_of_edge * nb + rb) * tb + rloc) * tb + cloc
+    shape = (S, nb, tb, tb)
+    jdtype = (jnp.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
+              else jnp.dtype(dtype))
+    total = int(np.prod(shape))
+    host = np.zeros((total,), np.float32)
+    np.add.at(host, flat, w)
+    blocks = jnp.asarray(host.reshape(shape)).astype(jdtype)
+    return PackedBanded(blocks=blocks, cols=jnp.asarray(cols, jnp.int32),
+                        nb=nb, tb=tb, num_nodes=num_nodes)
+
+
+def packed_banded_spmm(pb: PackedBanded, x: jax.Array) -> jax.Array:
+    """XLA reference: ``out[i] = Σ_s blocks[s, i] @ x_block[cols[i, s]]``."""
+    tb, nb = pb.tb, pb.nb
+    n_pad = nb * tb
+    if x.shape[0] != n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    cdt = (jnp.bfloat16 if pb.blocks.dtype == jnp.bfloat16 else x.dtype)
+    xb = x.astype(cdt).reshape(nb, tb, x.shape[1])
+    out = jnp.zeros((nb, tb, x.shape[1]), jnp.float32)
+    S = pb.blocks.shape[0]
+    for s in range(S):
+        gathered = jnp.take(xb, pb.cols[:, s], axis=0)
+        out = out + jnp.einsum("bij,bjf->bif",
+                               pb.blocks[s].astype(cdt), gathered,
+                               preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(n_pad, -1)[: pb.num_nodes]
+
+
+def transpose_packed_banded(senders, receivers, num_nodes, *, tb=128,
+                            edge_weight=None, max_slots=32,
+                            dtype=np.float32):
+    """Packed storage of Aᵀ (for VJPs): just the reversed edge list."""
+    return build_packed_banded(receivers, senders, num_nodes, tb=tb,
+                               edge_weight=edge_weight,
+                               max_slots=max_slots, dtype=dtype)
+
+
 def banded_spmm(bm: BandedMatrix, x: jax.Array) -> jax.Array:
     """``out = A @ x`` via one batched matmul per diagonal band."""
     tb, nb = bm.tb, bm.nb
@@ -278,6 +388,40 @@ def precompute_bsr(
         if dm is not None:
             return g.copy(cache={**g.cache, "dia": dm,
                                  "dia_rev": transpose_dia(dm)})
+    # Row-packed block bands (TB=128) vs dense diagonals: the r5 reord
+    # profile showed dense diagonals stream 811× zeros on post-RCM
+    # unstructured meshes (bands dominate the kernel's traffic 2:1).
+    # Estimate both footprints from the block-coordinate pairs and take
+    # packed when it is ≥1.4× smaller, or when dense bands don't fit at
+    # all; regular grids (full diagonals) keep DIA/banded.
+    s64, r64 = np.asarray(s, np.int64), np.asarray(r, np.int64)
+    ptb = 128
+    nb_p = -(-g.num_nodes // ptb)
+    pairs = np.unique((r64 // ptb) * nb_p + s64 // ptb)
+    per_row = np.bincount((pairs // nb_p), minlength=nb_p)
+    S_est = int(per_row.max()) if len(pairs) else 0
+    nb_d = -(-g.num_nodes // tb)
+    n_offs_dense = len(np.unique(s64 // tb - r64 // tb))
+    dense_fits = (n_offs_dense <= max_bands
+                  and n_offs_dense < max((2 * nb_d - 1) // 2, 2))
+    # compare FULL per-pass traffic (value stream + one x block-read per
+    # band/slot) at a nominal F=128: packed uses smaller blocks, so it
+    # re-reads x more often — counting values alone overstates its win
+    F_NOM = 128
+    packed_traffic = S_est * (nb_p * ptb * ptb + g.num_nodes * F_NOM)
+    dense_traffic = n_offs_dense * (nb_d * tb * tb + g.num_nodes * F_NOM)
+    use_packed = (0 < S_est <= min(32, (nb_p - 1) // 2) and nb_p >= 4
+                  and (not dense_fits
+                       or 10 * packed_traffic <= 8 * dense_traffic))
+    if use_packed:
+        pb = build_packed_banded(s, r, g.num_nodes, tb=ptb,
+                                 edge_weight=edge_weight, dtype=dtype)
+        if pb is not None:
+            pb_rev = build_packed_banded(r, s, g.num_nodes, tb=ptb,
+                                         edge_weight=edge_weight,
+                                         dtype=dtype)
+            return g.copy(cache={**g.cache, "pbanded": pb,
+                                 "pbanded_rev": pb_rev})
     banded = build_banded(s, r, g.num_nodes, tb=tb, edge_weight=edge_weight,
                           dtype=dtype, max_bands=max_bands)
     if banded is not None:

@@ -78,6 +78,24 @@ def _dia_ok(s, r, n) -> bool:
                                  or plan.hybrid_ok)
 
 
+def _packed_ok(s, r, n, tb: int = 128, max_slots: int = 32) -> bool:
+    """Mirror of ``bsr.precompute_bsr``'s packed-band acceptance: every
+    TB=128 block-row covered by ≤32 nonzero blocks (and enough rows to
+    block at all). Post-RCM unstructured meshes pass; uniform random
+    graphs (≈E/nb blocks per row) do not."""
+    import numpy as np
+
+    nb = -(-n // tb)
+    if nb < 4 or len(s) == 0:
+        return False
+    pairs = np.unique((np.asarray(r, np.int64) // tb) * nb
+                      + np.asarray(s, np.int64) // tb)
+    per_row = np.bincount(pairs // nb, minlength=nb)
+    # absolute cap AND relative sparsity: packing must actually skip most
+    # block-columns, or this is just a dense matrix in disguise
+    return int(per_row.max()) <= min(max_slots, (nb - 1) // 2)
+
+
 def _try_auto_reorder(g: GnnGraph, tb: int):
     """RCM-renumber ``g`` when (and only when) that unlocks a banded/DIA
     structure the graph doesn't have as labeled. Returns ``(graph, order,
@@ -96,7 +114,8 @@ def _try_auto_reorder(g: GnnGraph, tb: int):
     n = g.num_nodes
     if n < 4 * tb or g.num_edges == 0:
         return g, None, None
-    if _block_bandable(s, r, n, tb) or _dia_ok(s, r, n):
+    if _block_bandable(s, r, n, tb) or _dia_ok(s, r, n) \
+            or _packed_ok(s, r, n):
         return g, None, None  # already structured — nothing to unlock
     order = rcm_order(s, r, n)
     inv = np.empty(n, np.int64)
@@ -104,7 +123,7 @@ def _try_auto_reorder(g: GnnGraph, tb: int):
     s2, r2 = inv[s.astype(np.int64)], inv[r.astype(np.int64)]
     if not (_block_bandable(s2, r2, n, tb,
                             max_bands=AUTO_REORDER_MAX_BANDS)
-            or _dia_ok(s2, r2, n)):
+            or _dia_ok(s2, r2, n) or _packed_ok(s2, r2, n)):
         return g, None, None  # expander-like: no narrow ordering exists
     g2, eperm = reorder_graph(g, order, return_edge_perm=True)
     return g2, order, eperm
@@ -255,7 +274,8 @@ def precompute(
                             max_bands=(AUTO_REORDER_MAX_BANDS
                                        if node_order is not None else 16))
         if (gcn_fused or (gcn_fused is None and add_self_loops)) \
-                and ("banded" in g2.cache or "dia" in g2.cache) \
+                and ("banded" in g2.cache or "dia" in g2.cache
+                     or "pbanded" in g2.cache) \
                 and "dia_rem" not in g2.cache \
                 and edge_weight is None:
             # (hybrid DIA graphs skip the normalized fused-RHS build: the
@@ -283,6 +303,17 @@ def precompute(
                                dtype=dt)
                 cache2["dia_norm"] = dn
                 cache2["dia_norm_rev"] = transpose_dia(dn)
+            elif "pbanded" in g2.cache:
+                from .bsr import build_packed_banded
+
+                pb0 = g2.cache["pbanded"]
+                dt = pb0.blocks.dtype
+                cache2["pbanded_norm"] = build_packed_banded(
+                    s2, r2, g2.num_nodes, tb=pb0.tb, edge_weight=vals,
+                    dtype=dt)
+                cache2["pbanded_norm_rev"] = build_packed_banded(
+                    r2, s2, g2.num_nodes, tb=pb0.tb, edge_weight=vals,
+                    dtype=dt)
             else:
                 from .bsr import build_banded
 
@@ -374,7 +405,8 @@ def spmm(g: GnnGraph, x: jax.Array,
     if mode == "auto":
         if "adj" in g.cache and not weighted:
             mode = "dense"
-        elif (("dia" in g.cache or "banded" in g.cache or "bsr" in g.cache)
+        elif (("dia" in g.cache or "banded" in g.cache
+               or "pbanded" in g.cache or "bsr" in g.cache)
               and x.ndim == 2 and not weighted):
             mode = "bsr"
         elif (("tcsr" in g.cache or "tcsr_groups" in g.cache) and x.ndim == 2
@@ -395,7 +427,8 @@ def spmm(g: GnnGraph, x: jax.Array,
                                or x.ndim != 2):
             mode = "xla"
     if mode == "bsr" and (("bsr" not in g.cache and "banded" not in g.cache
-                           and "dia" not in g.cache)
+                           and "dia" not in g.cache
+                           and "pbanded" not in g.cache)
                           or x.ndim != 2 or weighted):
         # runtime weights can't ride the precomputed blocks; prefer the
         # weighted Pallas path over raw scatter when the tiling exists
@@ -422,6 +455,15 @@ def spmm(g: GnnGraph, x: jax.Array,
 
                 y = y + dia_remainder_spmm(rem, x, g.num_nodes)
             return y
+        if "pbanded" in g.cache:
+            if _pallas_available():
+                from ..kernels.banded_kernels import pbanded_spmm_pallas
+
+                return pbanded_spmm_pallas(x, g.cache["pbanded"],
+                                           g.cache.get("pbanded_rev"))
+            from .bsr import packed_banded_spmm
+
+            return packed_banded_spmm(g.cache["pbanded"], x)
         if "banded" in g.cache:
             if _pallas_available():
                 from ..kernels.banded_kernels import banded_spmm_pallas
