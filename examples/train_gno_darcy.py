@@ -24,6 +24,7 @@ class Config:
     lr: float = 1e-3
     epochs: int = 50
     seed: int = 0
+    log_path: str = ""
 
 
 def main(cfg: Config):
@@ -58,7 +59,7 @@ def main(cfg: Config):
     opt = adam(cfg.lr)
     opt_state = opt.init(ps)
     step = make_train_step(loss_fn, opt, donate=False)
-    logger = MetricsLogger()
+    logger = MetricsLogger(path=cfg.log_path or None)
     rng = np.random.default_rng(cfg.seed)
     batch = 4
     for epoch in range(cfg.epochs):
@@ -81,7 +82,9 @@ if __name__ == "__main__":
     p.add_argument("--samples", type=int, default=32)
     p.add_argument("--n", type=int, default=32)
     p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--log-path", type=str, default="")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    main(Config(num_samples=args.samples, n=args.n, epochs=args.epochs))
+    main(Config(num_samples=args.samples, n=args.n, epochs=args.epochs,
+                log_path=args.log_path))

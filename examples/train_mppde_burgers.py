@@ -26,6 +26,7 @@ class Config:
     epochs: int = 20
     pushforward: bool = True
     seed: int = 0
+    log_path: str = ""
 
 
 def main(cfg: Config):
@@ -75,7 +76,7 @@ def main(cfg: Config):
     opt = adam(cfg.lr)
     opt_state = opt.init(ps)
     step = make_train_step(loss_fn, opt, donate=False)
-    logger = MetricsLogger()
+    logger = MetricsLogger(path=cfg.log_path or None)
     rng = np.random.default_rng(cfg.seed)
     for epoch in range(cfg.epochs):
         for i in range(cfg.num_sims):
@@ -95,6 +96,8 @@ def main(cfg: Config):
     n = min(pred.shape[0], true.shape[0])
     rmse = float(jnp.sqrt(jnp.mean((pred[:n] - true[:n]) ** 2)))
     print(f"rollout rmse over {n * K} steps: {rmse:.4f}")
+    if cfg.log_path:
+        logger.log(cfg.epochs + 1, rollout_rmse=rmse)
     return logger
 
 
@@ -105,8 +108,9 @@ if __name__ == "__main__":
     p.add_argument("--nx", type=int, default=256)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--bundle", type=int, default=25)
+    p.add_argument("--log-path", type=str, default="")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     main(Config(num_sims=args.sims, nx=args.nx, epochs=args.epochs,
-                bundle=args.bundle))
+                bundle=args.bundle, log_path=args.log_path))
