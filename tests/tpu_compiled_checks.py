@@ -19,7 +19,8 @@ import subprocess
 import sys
 import time
 
-SECTIONS = ("tiled", "segmax", "banded", "gno", "fusedmlp", "dia")
+SECTIONS = ("tiled", "segmax", "banded", "gno", "fusedmlp", "dia",
+            "pbanded")
 
 
 def check(name, got, want, tol, failures):
@@ -309,6 +310,62 @@ def run_section(section: str) -> int:
         g_ref = jax.jit(jax.grad(lambda v: jnp.sum(
             xla_mesh(v) ** 2)))(xg)
         check("dia_grad", g_dia, g_ref, 1e-3, failures)
+
+    elif section == "pbanded":
+        # Packed block bands (r5): the cols-prefetched index map is the
+        # novel Mosaic surface — interpret mode can't validate its
+        # compiled lowering. RCM'd Delaunay, fused RHS fwd + full VJP.
+        from neuralgraphpde.graph.builders import delaunay_graph
+        from neuralgraphpde.graph.reorder import rcm_order
+        from neuralgraphpde.kernels.banded_kernels import (
+            _pbanded_rhs_fwd, pbanded_gcn_rhs, pbanded_spmm_pallas,
+        )
+        from neuralgraphpde.ops.bsr import (
+            build_packed_banded, transpose_packed_banded,
+        )
+
+        pts = rng.random((32768, 2)).astype(np.float32)
+        gd = delaunay_graph(pts)
+        sp = np.asarray(gd.senders).astype(np.int64)
+        rp = np.asarray(gd.receivers).astype(np.int64)
+        np_ = gd.num_nodes
+        order = rcm_order(sp, rp, np_)
+        inv = np.empty(np_, np.int64)
+        inv[order] = np.arange(np_)
+        sp, rp = inv[sp], inv[rp]
+        ewp = rng.uniform(0.5, 1.5, len(sp)).astype(np.float32)
+        pbm = build_packed_banded(sp, rp, np_, tb=128, edge_weight=ewp)
+        pbt = transpose_packed_banded(sp, rp, np_, tb=128, edge_weight=ewp)
+        xp_ = jnp.asarray(rng.normal(size=(np_, 128)).astype(np.float32))
+        wp_ = jnp.asarray((rng.normal(size=(128, 64)) / 12)
+                          .astype(np.float32))
+        sp_d = jnp.asarray(sp.astype(np.int32))
+        rp_d = jnp.asarray(rp.astype(np.int32))
+        ewp_d = jnp.asarray(ewp)
+
+        @jax.jit
+        def xla_ref(v):
+            return jax.ops.segment_sum(
+                jnp.take(v, sp_d, axis=0) * ewp_d[:, None], rp_d,
+                num_segments=np_)
+
+        y_pb = jax.jit(pbanded_spmm_pallas)(xp_, pbm, pbt)
+        check("pbanded_fwd", y_pb, xla_ref(xp_), 1e-4, failures)
+
+        _hi2 = jax.lax.Precision.HIGHEST
+        y_rhs = jax.jit(lambda v: _pbanded_rhs_fwd(
+            pbm, v, wp_, None, act="tanh"))(xp_)
+        y_rhs_ref = jnp.tanh(jnp.dot(xla_ref(xp_), wp_, precision=_hi2))
+        check("pbanded_rhs", y_rhs, y_rhs_ref, 1e-3, failures)
+
+        gp_ = jax.jit(jax.grad(lambda v, ww: jnp.sum(
+            pbanded_gcn_rhs("tanh", v, ww, None, pbm, pbt) ** 2),
+            argnums=(0, 1)))(xp_, wp_)
+        gr_ = jax.jit(jax.grad(lambda v, ww: jnp.sum(jnp.tanh(
+            jnp.dot(xla_ref(v), ww, precision=_hi2)) ** 2),
+            argnums=(0, 1)))(xp_, wp_)
+        for nm, a_, b_ in zip(("dx", "dw"), gp_, gr_):
+            check(f"pbanded_grad_{nm}", a_, b_, 1e-3, failures)
 
     else:
         raise ValueError(section)
