@@ -235,8 +235,8 @@ def _worker(outfile: str, tag: str, paths) -> None:
         from neuralgraphpde.ops.bsr import build_packed_banded
 
         s2, r2, w2 = _rcm_norm_edges()
-        pb = build_packed_banded(s2, r2, n, tb=128, edge_weight=w2,
-                                 dtype=jnp.bfloat16)
+        pb = build_packed_banded(s2, r2, n, tb=128, tb_rows=512,
+                                 edge_weight=w2, dtype=jnp.bfloat16)
         if pb is None:
             return None, None
         emit(f"INFO reord packed: S={pb.blocks.shape[0]} nb={pb.nb}")

@@ -182,11 +182,12 @@ def _pbanded_spmm_fwd(pb, x: jax.Array, interpret: bool = False) -> jax.Array:
     from ..ops.bsr import PackedBanded  # noqa: F401 (type only)
 
     out_dtype = x.dtype
-    nb, tb = pb.nb, pb.tb
+    nb, tb, tbr = pb.nb, pb.tb, pb.row_height
+    nbc = pb.num_col_blocks
     S = pb.blocks.shape[0]
-    n_pad = nb * tb
-    if x.shape[0] != n_pad:
-        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    n_pad_c = nbc * tb
+    if x.shape[0] != n_pad_c:
+        x = jnp.pad(x, ((0, n_pad_c - x.shape[0]), (0, 0)))
     if pb.blocks.dtype != x.dtype:
         x = x.astype(pb.blocks.dtype)
     F = x.shape[1]
@@ -204,15 +205,15 @@ def _pbanded_spmm_fwd(pb, x: jax.Array, interpret: bool = False) -> jax.Array:
         num_scalar_prefetch=1,
         grid=(n_ft, nb, S),
         in_specs=[
-            pl.BlockSpec((1, 1, tb, tb), lambda f, i, s, c: (s, i, 0, 0)),
+            pl.BlockSpec((1, 1, tbr, tb), lambda f, i, s, c: (s, i, 0, 0)),
             pl.BlockSpec((tb, tf), x_index),
         ],
-        out_specs=pl.BlockSpec((tb, tf), lambda f, i, s, c: (i, f)),
+        out_specs=pl.BlockSpec((tbr, tf), lambda f, i, s, c: (i, f)),
     )
     out = pl.pallas_call(
         _banded_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, Fp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * tbr, Fp), jnp.float32),
         interpret=interpret,
     )(pb.cols, pb.blocks, x)
     out = out[:, :F] if pad_f else out
@@ -427,11 +428,12 @@ def _pbanded_rhs_fwd(pb, x: jax.Array, w: Optional[jax.Array],
                      interpret: bool = False) -> jax.Array:
     """Fused GCN RHS on packed block bands (same epilogue contract as
     ``_banded_rhs_fwd``)."""
-    nb, tb = pb.nb, pb.tb
+    nb, tb, tbr = pb.nb, pb.tb, pb.row_height
+    nbc = pb.num_col_blocks
     S = pb.blocks.shape[0]
-    n_pad = nb * tb
-    if x.shape[0] != n_pad:
-        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    n_pad_c = nbc * tb
+    if x.shape[0] != n_pad_c:
+        x = jnp.pad(x, ((0, n_pad_c - x.shape[0]), (0, 0)))
     if pb.blocks.dtype != x.dtype:
         x = x.astype(pb.blocks.dtype)
     F = x.shape[1]
@@ -445,7 +447,7 @@ def _pbanded_rhs_fwd(pb, x: jax.Array, w: Optional[jax.Array],
         return (cols_ref[i, s], 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, tb, tb), lambda i, s, c: (s, i, 0, 0)),
+        pl.BlockSpec((1, 1, tbr, tb), lambda i, s, c: (s, i, 0, 0)),
         pl.BlockSpec((tb, F), x_index),
     ]
     args = [pb.blocks, x]
@@ -460,8 +462,8 @@ def _pbanded_rhs_fwd(pb, x: jax.Array, w: Optional[jax.Array],
         num_scalar_prefetch=1,
         grid=(nb, S),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tb, out_w), lambda i, s, c: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((tb, F), jnp.float32)],
+        out_specs=pl.BlockSpec((tbr, out_w), lambda i, s, c: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((tbr, F), jnp.float32)],
     )
     kernel = _make_rhs_kernel(S, act, w is not None, b is not None)
 
@@ -471,7 +473,7 @@ def _pbanded_rhs_fwd(pb, x: jax.Array, w: Optional[jax.Array],
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * tbr, out_w), jnp.float32),
         interpret=interpret,
     )(pb.cols, *args)
     return out[: pb.num_nodes]

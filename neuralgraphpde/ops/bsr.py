@@ -219,15 +219,28 @@ class PackedBanded:
     the prefetched ``cols`` instead of a static diagonal offset. Grid
     meshes populate every diagonal, so DIA/banded stay preferred there."""
 
-    blocks: jax.Array  # (S, nb, TB, TB) — slot-major, like bands
-    cols: jax.Array  # (nb, S) int32 absolute block-column (pad: own row)
-    nb: int
-    tb: int
+    blocks: jax.Array  # (S, nb_r, TB_R, TB_C) — slot-major, like bands
+    cols: jax.Array  # (nb_r, S) int32 absolute block-COLUMN (pad: self)
+    nb: int  # row-block count (ceil(n / tb_rows))
+    tb: int  # block COLUMN width (x-fetch granularity)
     num_nodes: int
+    # block ROW height; tall blocks (e.g. 512x128) keep the narrow column
+    # granularity that makes packing sparse while cutting grid steps below
+    # even the dense-diagonal kernel's (r5 sweep: 512x128 on the 131k
+    # reord graph = 6912 steps / 1132 MB vs dense 9728 / 1913 MB)
+    tb_rows: int = 0  # 0 = square (tb)
+
+    @property
+    def row_height(self) -> int:
+        return self.tb_rows or self.tb
+
+    @property
+    def num_col_blocks(self) -> int:
+        return -(-self.num_nodes // self.tb)
 
     def tree_flatten(self):
         return ((self.blocks, self.cols), (self.nb, self.tb,
-                                           self.num_nodes))
+                                           self.num_nodes, self.tb_rows))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -240,27 +253,31 @@ def build_packed_banded(
     num_nodes: int,
     *,
     tb: int = 128,
+    tb_rows: Optional[int] = None,
     edge_weight: Optional[np.ndarray] = None,
     max_slots: int = 32,
     dtype=np.float32,
 ) -> Optional[PackedBanded]:
-    """Row-packed block storage; None when some block-row needs more than
-    ``max_slots`` nonzero blocks (not bandwidth-limited under this tb)."""
+    """Row-packed block storage (``tb_rows`` x ``tb`` blocks; default
+    square); None when some block-row needs more than ``max_slots`` nonzero
+    blocks (not bandwidth-limited under this tb)."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
+    tbr = tb_rows or tb
     E = senders.shape[0]
     w = (np.ones(E, np.float32) if edge_weight is None
          else np.asarray(edge_weight, np.float32).reshape(-1))
-    nb = -(-num_nodes // tb)
-    rb = receivers // tb
+    nb = -(-num_nodes // tbr)  # row blocks
+    nbc = -(-num_nodes // tb)  # column blocks
+    rb = receivers // tbr
     cb = senders // tb
     # unique (block-row, block-col) pairs -> slot ranks within the row
-    key = rb * nb + cb
+    key = rb * nbc + cb
     uniq, inv = np.unique(key, return_inverse=True)
     if len(uniq) == 0:
         return None
-    u_r = uniq // nb
-    u_c = uniq % nb
+    u_r = uniq // nbc
+    u_c = uniq % nbc
     first = np.concatenate([[0], np.flatnonzero(np.diff(u_r)) + 1])
     gid = np.searchsorted(first, np.arange(len(uniq)), side="right") - 1
     rank = np.arange(len(uniq)) - first[gid]
@@ -268,14 +285,18 @@ def build_packed_banded(
     S = int(per_row.max())
     if S > max_slots:
         return None
-    # pad slots point at the row's own block (the padded block is zero)
-    cols = np.tile(np.arange(nb, dtype=np.int64)[:, None], (1, S))
+    # pad slots point at a block whose stored content is zero: clamp the
+    # row's own column index into the column-block range
+    own = np.minimum(np.arange(nb, dtype=np.int64) * (tbr // tb)
+                     if tbr >= tb else np.arange(nb, dtype=np.int64),
+                     nbc - 1)
+    cols = np.tile(own[:, None], (1, S))
     cols[u_r, rank] = u_c
     slot_of_edge = rank[inv]
-    rloc = receivers - rb * tb
+    rloc = receivers - rb * tbr
     cloc = senders - cb * tb
-    flat = ((slot_of_edge * nb + rb) * tb + rloc) * tb + cloc
-    shape = (S, nb, tb, tb)
+    flat = ((slot_of_edge * nb + rb) * tbr + rloc) * tb + cloc
+    shape = (S, nb, tbr, tb)
     jdtype = (jnp.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
               else jnp.dtype(dtype))
     total = int(np.prod(shape))
@@ -283,33 +304,34 @@ def build_packed_banded(
     np.add.at(host, flat, w)
     blocks = jnp.asarray(host.reshape(shape)).astype(jdtype)
     return PackedBanded(blocks=blocks, cols=jnp.asarray(cols, jnp.int32),
-                        nb=nb, tb=tb, num_nodes=num_nodes)
+                        nb=nb, tb=tb, num_nodes=num_nodes, tb_rows=tbr)
 
 
 def packed_banded_spmm(pb: PackedBanded, x: jax.Array) -> jax.Array:
     """XLA reference: ``out[i] = Σ_s blocks[s, i] @ x_block[cols[i, s]]``."""
-    tb, nb = pb.tb, pb.nb
-    n_pad = nb * tb
-    if x.shape[0] != n_pad:
-        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    tb, nb, tbr = pb.tb, pb.nb, pb.row_height
+    nbc = pb.num_col_blocks
+    n_pad_c = nbc * tb
+    if x.shape[0] != n_pad_c:
+        x = jnp.pad(x, ((0, n_pad_c - x.shape[0]), (0, 0)))
     cdt = (jnp.bfloat16 if pb.blocks.dtype == jnp.bfloat16 else x.dtype)
-    xb = x.astype(cdt).reshape(nb, tb, x.shape[1])
-    out = jnp.zeros((nb, tb, x.shape[1]), jnp.float32)
+    xb = x.astype(cdt).reshape(nbc, tb, x.shape[1])
+    out = jnp.zeros((nb, tbr, x.shape[1]), jnp.float32)
     S = pb.blocks.shape[0]
     for s in range(S):
         gathered = jnp.take(xb, pb.cols[:, s], axis=0)
         out = out + jnp.einsum("bij,bjf->bif",
                                pb.blocks[s].astype(cdt), gathered,
                                preferred_element_type=jnp.float32)
-    return out.astype(x.dtype).reshape(n_pad, -1)[: pb.num_nodes]
+    return out.astype(x.dtype).reshape(nb * tbr, -1)[: pb.num_nodes]
 
 
 def transpose_packed_banded(senders, receivers, num_nodes, *, tb=128,
-                            edge_weight=None, max_slots=32,
+                            tb_rows=None, edge_weight=None, max_slots=32,
                             dtype=np.float32):
     """Packed storage of Aᵀ (for VJPs): just the reversed edge list."""
     return build_packed_banded(receivers, senders, num_nodes, tb=tb,
-                               edge_weight=edge_weight,
+                               tb_rows=tb_rows, edge_weight=edge_weight,
                                max_slots=max_slots, dtype=dtype)
 
 
@@ -395,29 +417,34 @@ def precompute_bsr(
     # packed when it is ≥1.4× smaller, or when dense bands don't fit at
     # all; regular grids (full diagonals) keep DIA/banded.
     s64, r64 = np.asarray(s, np.int64), np.asarray(r, np.int64)
-    ptb = 128
-    nb_p = -(-g.num_nodes // ptb)
-    pairs = np.unique((r64 // ptb) * nb_p + s64 // ptb)
-    per_row = np.bincount((pairs // nb_p), minlength=nb_p)
+    ptb, ptb_r = 128, 512  # tall blocks: fewer grid steps, narrow columns
+    nb_pr = -(-g.num_nodes // ptb_r)
+    nb_pc = -(-g.num_nodes // ptb)
+    pairs = np.unique((r64 // ptb_r) * nb_pc + s64 // ptb)
+    per_row = np.bincount((pairs // nb_pc), minlength=nb_pr)
     S_est = int(per_row.max()) if len(pairs) else 0
     nb_d = -(-g.num_nodes // tb)
     n_offs_dense = len(np.unique(s64 // tb - r64 // tb))
     dense_fits = (n_offs_dense <= max_bands
                   and n_offs_dense < max((2 * nb_d - 1) // 2, 2))
     # compare FULL per-pass traffic (value stream + one x block-read per
-    # band/slot) at a nominal F=128: packed uses smaller blocks, so it
-    # re-reads x more often — counting values alone overstates its win
+    # band/slot) at a nominal F=128: packed re-reads narrow x blocks per
+    # slot — counting values alone overstates its win
     F_NOM = 128
-    packed_traffic = S_est * (nb_p * ptb * ptb + g.num_nodes * F_NOM)
+    packed_traffic = S_est * (nb_pr * ptb_r * ptb
+                              + nb_pr * ptb * F_NOM)
     dense_traffic = n_offs_dense * (nb_d * tb * tb + g.num_nodes * F_NOM)
-    use_packed = (0 < S_est <= min(32, (nb_p - 1) // 2) and nb_p >= 4
+    # threshold 0.9: tall blocks also need FEWER grid steps than the dense
+    # diagonals in this regime, so a modest modeled traffic win is enough
+    use_packed = (0 < S_est <= min(32, (nb_pc - 1) // 2) and nb_pr >= 4
                   and (not dense_fits
-                       or 10 * packed_traffic <= 8 * dense_traffic))
+                       or 10 * packed_traffic <= 9 * dense_traffic))
     if use_packed:
-        pb = build_packed_banded(s, r, g.num_nodes, tb=ptb,
+        pb = build_packed_banded(s, r, g.num_nodes, tb=ptb, tb_rows=ptb_r,
                                  edge_weight=edge_weight, dtype=dtype)
         if pb is not None:
             pb_rev = build_packed_banded(r, s, g.num_nodes, tb=ptb,
+                                         tb_rows=ptb_r,
                                          edge_weight=edge_weight,
                                          dtype=dtype)
             return g.copy(cache={**g.cache, "pbanded": pb,

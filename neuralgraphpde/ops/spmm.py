@@ -85,15 +85,17 @@ def _packed_ok(s, r, n, tb: int = 128, max_slots: int = 32) -> bool:
     graphs (≈E/nb blocks per row) do not."""
     import numpy as np
 
-    nb = -(-n // tb)
-    if nb < 4 or len(s) == 0:
+    tbr = 4 * tb  # precompute_bsr packs tall 512x128 blocks
+    nbr = -(-n // tbr)
+    nbc = -(-n // tb)
+    if nbr < 4 or len(s) == 0:
         return False
-    pairs = np.unique((np.asarray(r, np.int64) // tb) * nb
+    pairs = np.unique((np.asarray(r, np.int64) // tbr) * nbc
                       + np.asarray(s, np.int64) // tb)
-    per_row = np.bincount(pairs // nb, minlength=nb)
+    per_row = np.bincount(pairs // nbc, minlength=nbr)
     # absolute cap AND relative sparsity: packing must actually skip most
     # block-columns, or this is just a dense matrix in disguise
-    return int(per_row.max()) <= min(max_slots, (nb - 1) // 2)
+    return int(per_row.max()) <= min(max_slots, (nbc - 1) // 2)
 
 
 def _try_auto_reorder(g: GnnGraph, tb: int):
@@ -309,11 +311,11 @@ def precompute(
                 pb0 = g2.cache["pbanded"]
                 dt = pb0.blocks.dtype
                 cache2["pbanded_norm"] = build_packed_banded(
-                    s2, r2, g2.num_nodes, tb=pb0.tb, edge_weight=vals,
-                    dtype=dt)
+                    s2, r2, g2.num_nodes, tb=pb0.tb,
+                    tb_rows=pb0.row_height, edge_weight=vals, dtype=dt)
                 cache2["pbanded_norm_rev"] = build_packed_banded(
-                    r2, s2, g2.num_nodes, tb=pb0.tb, edge_weight=vals,
-                    dtype=dt)
+                    r2, s2, g2.num_nodes, tb=pb0.tb,
+                    tb_rows=pb0.row_height, edge_weight=vals, dtype=dt)
             else:
                 from .bsr import build_banded
 

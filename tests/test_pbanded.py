@@ -132,3 +132,22 @@ def test_precompute_prefers_packed_on_sparse_bands():
         set_spmm_mode("auto")
     want = np.asarray(spmm_xla(gp, x))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_rectangular_blocks_match():
+    """Tall 512x128 blocks (the production configuration: dense-kernel
+    step count with packed-column sparsity) must agree with the scatter
+    reference, forward and interpret-mode kernel."""
+    s, r, n, rng = _rcm_delaunay(n=3000, seed=4)
+    ew = rng.uniform(0.5, 1.5, size=len(s)).astype(np.float32)
+    pb = build_packed_banded(s, r, n, tb=128, tb_rows=512, edge_weight=ew)
+    assert pb is not None and pb.row_height == 512
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    g = GnnGraph.from_coo(s.astype(np.int32), r.astype(np.int32),
+                          num_nodes=n)
+    want = np.asarray(spmm_xla(g, x, jnp.asarray(ew)))
+    got = np.asarray(packed_banded_spmm(pb, x))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        gk = np.asarray(_pbanded_spmm_fwd(pb, x, interpret=True))
+    np.testing.assert_allclose(gk, want, atol=1e-4)

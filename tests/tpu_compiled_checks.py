@@ -334,8 +334,10 @@ def run_section(section: str) -> int:
         inv[order] = np.arange(np_)
         sp, rp = inv[sp], inv[rp]
         ewp = rng.uniform(0.5, 1.5, len(sp)).astype(np.float32)
-        pbm = build_packed_banded(sp, rp, np_, tb=128, edge_weight=ewp)
-        pbt = transpose_packed_banded(sp, rp, np_, tb=128, edge_weight=ewp)
+        pbm = build_packed_banded(sp, rp, np_, tb=128, tb_rows=512,
+                                  edge_weight=ewp)
+        pbt = transpose_packed_banded(sp, rp, np_, tb=128, tb_rows=512,
+                                      edge_weight=ewp)
         xp_ = jnp.asarray(rng.normal(size=(np_, 128)).astype(np.float32))
         wp_ = jnp.asarray((rng.normal(size=(128, 64)) / 12)
                           .astype(np.float32))
