@@ -30,6 +30,12 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
+import jax
+
+# pure host arithmetic — must never touch the TPU relay (sitecustomize
+# overrides the JAX_PLATFORMS env var, so pin in code)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 

@@ -193,6 +193,38 @@ def _local_spmm_block_banded_overlap(x_block, band, band_rev, s_bnd, r_bnd,
     return out
 
 
+def _local_spmm_block_pbanded_overlap(x_block, blocks, blocks_rev, cols,
+                                      cols_rev, s_bnd, r_bnd, m_bnd,
+                                      send_idx_p, npp, tb, tbr,
+                                      axis_name=GRAPH_AXIS,
+                                      neighbor_only=False):
+    """Interior aggregation on the PACKED block-band kernel while the halo
+    collective is in flight (r5: the distributed fast path for partitions
+    of RCM-ordered unstructured meshes); boundary edges consume the
+    received halo rows."""
+    from ..kernels.banded_kernels import pbanded_spmm_pallas
+    from ..ops.bsr import PackedBanded, packed_banded_spmm
+    from ..ops.spmm import _pallas_available, get_spmm_mode
+
+    send_rows = jnp.take(x_block, send_idx_p[0], axis=0)
+    halo_rows = _exchange_halo(send_rows, axis_name, neighbor_only)
+    nbr = blocks.shape[2]
+    pb = PackedBanded(blocks=blocks[0], cols=cols[0], nb=nbr, tb=tb,
+                      num_nodes=npp, tb_rows=tbr)
+    pb_rev = PackedBanded(blocks=blocks_rev[0], cols=cols_rev[0], nb=nbr,
+                          tb=tb, num_nodes=npp, tb_rows=tbr)
+    mode = get_spmm_mode()
+    if mode in ("pallas", "bsr") or (mode == "auto" and _pallas_available()):
+        out = pbanded_spmm_pallas(x_block, pb, pb_rev)
+    else:
+        # XLA packed evaluation — keeps CPU/virtual-mesh runs on the path
+        out = packed_banded_spmm(pb, x_block)
+    tbl = halo_rows.reshape(-1, x_block.shape[-1])
+    xj_b = jnp.take(tbl, s_bnd[0], axis=0) * m_bnd[0]
+    return out + jax.ops.segment_sum(
+        xj_b, r_bnd[0], num_segments=npp, indices_are_sorted=True)
+
+
 def sharded_spmm(
     pg: PartitionedGraph,
     x: jax.Array,
@@ -234,6 +266,28 @@ def sharded_spmm(
             out_specs=xs, check_vma=False)
         return f(x, pg.dia_values, pg.dia_values_rev, pg.senders_bnd,
                  pg.recv_bnd, pg.mask_bnd, pg.send_idx)
+
+    if pg.pband_blocks is not None:
+        ptb, ptbr = pg.pband_tb, pg.pband_tb_rows
+
+        def body(x_block, blocks, blocks_rev, cols, cols_rev, s_bnd, r_bnd,
+                 m_bnd, send_idx):
+            return _local_spmm_block_pbanded_overlap(
+                x_block, blocks, blocks_rev, cols, cols_rev, s_bnd, r_bnd,
+                m_bnd, send_idx, npp, ptb, ptbr, axis_name,
+                pg.halo_neighbor_only)
+
+        blk_spec = P(axis_name, *(None,) * 4)
+        col_spec = P(axis_name, None, None)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(xs, blk_spec, blk_spec, col_spec, col_spec,
+                      P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), P(axis_name, None, None)),
+            out_specs=xs, check_vma=False)
+        return f(x, pg.pband_blocks, pg.pband_blocks_rev, pg.pband_cols,
+                 pg.pband_cols_rev, pg.senders_bnd, pg.recv_bnd,
+                 pg.mask_bnd, pg.send_idx)
 
     if pg.band_data is not None:
         offsets, tb = pg.band_offsets, pg.band_tb
@@ -346,6 +400,7 @@ def sharded_gcn_forward(
     in_dims, out_dims = weight.shape
     npp = pg.nodes_per_part
     use_dia = pg.dia_values is not None
+    use_pbanded = pg.pband_blocks is not None
     use_banded = pg.band_data is not None
     use_overlap = pg.senders_int is not None
     use_halo = pg.senders_halo is not None
@@ -388,6 +443,31 @@ def sharded_gcn_forward(
         return f(x, pg.in_degree, pg.node_mask, pg.dia_values,
                  pg.dia_values_rev, pg.senders_bnd, pg.recv_bnd, pg.mask_bnd,
                  pg.send_idx)
+
+    if use_pbanded:
+        ptb, ptbr = pg.pband_tb, pg.pband_tb_rows
+
+        def body(x_block, deg, nmask, blocks, blocks_rev, cols, cols_rev,
+                 s_bnd, r_bnd, m_bnd, send_idx):
+            h, c = pre(x_block, deg[0])
+            agg = _local_spmm_block_pbanded_overlap(
+                h, blocks, blocks_rev, cols, cols_rev, s_bnd, r_bnd, m_bnd,
+                send_idx, npp, ptb, ptbr, axis_name, pg.halo_neighbor_only)
+            return post(agg, c, nmask[0])
+
+        blk_spec = P(axis_name, *(None,) * 4)
+        col_spec = P(axis_name, None, None)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), blk_spec, blk_spec,
+                      col_spec, col_spec,
+                      P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None, None), P(axis_name, None, None)),
+            out_specs=P(axis_name, None), check_vma=False)
+        return f(x, pg.in_degree, pg.node_mask, pg.pband_blocks,
+                 pg.pband_blocks_rev, pg.pband_cols, pg.pband_cols_rev,
+                 pg.senders_bnd, pg.recv_bnd, pg.mask_bnd, pg.send_idx)
 
     if use_banded:
         offsets, tb = pg.band_offsets, pg.band_tb

@@ -111,6 +111,17 @@ class PartitionedGraph:
     # instead of the dense all_to_all's (P-1)·H — so the ICI cost of a halo
     # exchange stays FLAT in P (examples/comm_model.py quantifies this).
     halo_neighbor_only: bool = False
+    # --- per-partition PACKED block bands of the interior edges (r5): the
+    # distributed analog of ops.bsr.PackedBanded for partitions of
+    # RCM-ordered unstructured meshes (narrow-banded interiors whose dense
+    # diagonals would be mostly zeros). Tall TBRxTBC blocks, slot-padded
+    # uniformly across partitions.
+    pband_blocks: Optional[jax.Array] = None  # (P, S, nbr, TBR, TBC)
+    pband_blocks_rev: Optional[jax.Array] = None  # A^T packed
+    pband_cols: Optional[jax.Array] = None  # (P, nbr, S) int32
+    pband_cols_rev: Optional[jax.Array] = None
+    pband_tb: int = 0  # block column width
+    pband_tb_rows: int = 0  # block row height
 
     @property
     def padded_nodes(self) -> int:
@@ -126,11 +137,14 @@ class PartitionedGraph:
                     self.edata, self.ndata, self.gdata,
                     self.tile_senders, self.tile_recv, self.tile_wmask,
                     self.tile_chunk, self.etile_senders, self.etile_recv,
-                    self.etile_wmask, self.etile_chunk)
+                    self.etile_wmask, self.etile_chunk,
+                    self.pband_blocks, self.pband_blocks_rev,
+                    self.pband_cols, self.pband_cols_rev)
         aux = (self.num_partitions, self.nodes_per_part, self.num_nodes,
                self.num_edges, self.halo_size, self.tile_tn, self.tile_te,
                self.band_offsets, self.band_tb, self.dia_offsets,
-               self.num_graphs, self.halo_neighbor_only)
+               self.num_graphs, self.halo_neighbor_only, self.pband_tb,
+               self.pband_tb_rows)
         return children, aux
 
     @classmethod
@@ -140,8 +154,10 @@ class PartitionedGraph:
          senders_bnd, recv_bnd, mask_bnd, band_data, band_data_rev,
          dia_values, dia_values_rev, edata, ndata, gdata, tile_senders,
          tile_recv, tile_wmask, tile_chunk, etile_senders, etile_recv,
-         etile_wmask, etile_chunk) = children
-        P, npp, n, e, h, ttn, tte, boffs, btb, doffs, ng, nbr = aux
+         etile_wmask, etile_chunk, pband_blocks, pband_blocks_rev,
+         pband_cols, pband_cols_rev) = children
+        (P, npp, n, e, h, ttn, tte, boffs, btb, doffs, ng, nbr,
+         ptb, ptbr) = aux
         return cls(senders_global, receivers_local, edge_mask, in_degree,
                    node_mask, P, npp, n, e, h, send_idx, senders_halo,
                    senders_int, recv_int, mask_int, senders_bnd, recv_bnd,
@@ -150,7 +166,10 @@ class PartitionedGraph:
                    dict(edata), dict(ndata), dict(gdata), ng, tile_senders,
                    tile_recv, tile_wmask, tile_chunk, ttn, tte,
                    etile_senders, etile_recv, etile_wmask, etile_chunk,
-                   halo_neighbor_only=nbr)
+                   halo_neighbor_only=nbr, pband_blocks=pband_blocks,
+                   pband_blocks_rev=pband_blocks_rev, pband_cols=pband_cols,
+                   pband_cols_rev=pband_cols_rev, pband_tb=ptb,
+                   pband_tb_rows=ptbr)
 
 
 def partition_graph(
@@ -168,6 +187,7 @@ def partition_graph(
     banded_max_bands: int = 16,
     dia: bool = True,
     dia_dtype=None,
+    pbanded: bool = True,
 ) -> PartitionedGraph:
     """Partition ``g`` by receiver into contiguous node blocks.
 
@@ -393,6 +413,14 @@ def partition_graph(
             split_kw.update(_build_partition_bands(
                 s_int, r_int, m_int, P, npp, banded_tb, banded_dtype,
                 banded_max_bands))
+        if ("dia_values" not in split_kw and "band_data" not in split_kw
+                and pbanded):
+            # unstructured-but-narrow interiors (RCM-ordered meshes): the
+            # packed block bands keep the structured fast path where the
+            # stencil/dense-band gates refuse (r5)
+            split_kw.update(_build_partition_pbanded(
+                s_int, r_int, m_int, P, npp,
+                dia_dtype or banded_dtype))
 
     return PartitionedGraph(
         senders_global=jnp.asarray(senders_g),
@@ -455,6 +483,68 @@ def _build_partition_dia(s_int, r_int, m_int, P, npp, dtype,
 
     return dict(dia_values=scatter(sl, rl), dia_values_rev=scatter(rl, sl),
                 dia_offsets=tuple(int(d) for d in offs))
+
+
+def _build_partition_pbanded(s_int, r_int, m_int, P, npp, dtype,
+                             tb_c: int = 128, tb_r: int = 512,
+                             max_slots: int = 32):
+    """Per-partition PACKED (row-list) block bands of the interior edges —
+    the distributed analog of ``ops.bsr.PackedBanded`` (r5): partitions of
+    RCM-ordered unstructured meshes have narrow-banded interiors whose
+    dense diagonals would be mostly zeros. Tall 512x128 blocks; slot count
+    padded to the max over partitions so shapes stay uniform."""
+    nbr = -(-npp // tb_r)
+    nbc = -(-npp // tb_c)
+    if nbr < 4:
+        return {}
+    valid = m_int > 0
+    sl = s_int[valid].astype(np.int64)
+    rl = r_int[valid].astype(np.int64)
+    if len(sl) == 0:
+        return {}
+    qv = np.broadcast_to(np.arange(P)[:, None], m_int.shape)[valid]
+    jdtype = (jnp.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
+              else jnp.float32)
+
+    def build(src, dst):
+        key = (qv * nbr + dst // tb_r) * nbc + src // tb_c
+        uniq, inv = np.unique(key, return_inverse=True)
+        u_qr = uniq // nbc
+        u_c = uniq % nbc
+        first = np.concatenate([[0], np.flatnonzero(np.diff(u_qr)) + 1])
+        gid = np.searchsorted(first, np.arange(len(uniq)),
+                              side="right") - 1
+        rank = np.arange(len(uniq)) - first[gid]
+        per_row = np.diff(np.concatenate([first, [len(uniq)]]))
+        S = int(per_row.max())
+        # the distributed alternative is the tiled GATHER path, not dense
+        # bands, so a moderate occupancy still wins — refuse only when the
+        # row lists are effectively dense (mirrors _build_partition_dia)
+        if S > min(max_slots, max(int(0.6 * nbc), 1)):
+            return None, 0
+        own = np.minimum(np.arange(nbr, dtype=np.int64) * (tb_r // tb_c),
+                         nbc - 1)
+        cols = np.tile(own[None, :, None], (P, 1, S)).copy()
+        cols[u_qr // nbr, u_qr % nbr, rank] = u_c
+        slot = rank[inv]
+        flat = ((((slot * P + qv) * nbr + dst // tb_r) * tb_r
+                 + dst % tb_r) * tb_c + src % tb_c)
+        host = np.zeros((S * P * nbr * tb_r * tb_c,), np.float32)
+        np.add.at(host, flat, 1.0)
+        blocks = jnp.asarray(
+            host.reshape(S, P, nbr, tb_r, tb_c).transpose(1, 0, 2, 3, 4)
+        ).astype(jdtype)
+        return (blocks, jnp.asarray(cols, jnp.int32)), S
+
+    fwd, S = build(sl, rl)
+    if fwd is None:
+        return {}
+    rev, S_r = build(rl, sl)
+    if rev is None:
+        return {}
+    return dict(pband_blocks=fwd[0], pband_cols=fwd[1],
+                pband_blocks_rev=rev[0], pband_cols_rev=rev[1],
+                pband_tb=tb_c, pband_tb_rows=tb_r)
 
 
 def _build_partition_bands(s_int, r_int, m_int, P, npp, tb, dtype,

@@ -151,3 +151,45 @@ def test_rectangular_blocks_match():
     with pltpu.force_tpu_interpret_mode():
         gk = np.asarray(_pbanded_spmm_fwd(pb, x, interpret=True))
     np.testing.assert_allclose(gk, want, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_partitioned_pbanded_engages_and_matches(monkeypatch):
+    """partition_graph on an RCM-ordered unstructured mesh must attach the
+    per-partition packed blocks (DIA/dense-band gates refuse there) and
+    sharded_spmm must match the single-device reference, fwd and grad."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from neuralgraphpde.parallel import (make_mesh, pad_node_features,
+                                         partition_graph,
+                                         shard_node_features, sharded_spmm)
+
+    rng = np.random.default_rng(6)
+    # partitions must be big enough that their interior band leaves most
+    # block-columns empty (the packed gate mirrors the 0.6 density rule)
+    pts = rng.uniform(size=(48000, 2)).astype(np.float32)
+    g0 = delaunay_graph(pts)
+    s = np.asarray(g0.senders).astype(np.int64)
+    r = np.asarray(g0.receivers).astype(np.int64)
+    order = rcm_order(s, r, g0.num_nodes)
+    inv = np.empty(g0.num_nodes, np.int64)
+    inv[order] = np.arange(g0.num_nodes)
+    g = GnnGraph.from_coo(inv[s].astype(np.int32), inv[r].astype(np.int32),
+                          num_nodes=g0.num_nodes)
+    mesh = make_mesh(8)
+    pg = partition_graph(g, 8, halo=True)
+    assert pg.dia_values is None and pg.band_data is None
+    assert pg.pband_blocks is not None, "packed partition path must engage"
+    assert pg.pband_blocks.shape[0] == 8
+
+    x_np = rng.normal(size=(g.num_nodes, 16)).astype(np.float32)
+    x = shard_node_features(pad_node_features(x_np, pg), pg, mesh)
+    got = np.asarray(sharded_spmm(pg, x, mesh))[: g.num_nodes]
+    want = np.asarray(spmm_xla(g, jnp.asarray(x_np)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def loss(v):
+        return jnp.sum(jnp.tanh(sharded_spmm(pg, v, mesh)) ** 2)
+
+    gv = np.asarray(jax.grad(loss)(x))
+    assert np.all(np.isfinite(gv))
