@@ -192,3 +192,19 @@ def test_fused_backward_inside_checkpoint_adjoint():
         os.environ.pop("NGPDE_FUSED_BWD", None)
     np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
     _tree_close(gp, gx, atol=1e-4)
+
+
+def test_xla_dot_precision_policy(monkeypatch):
+    """f32 XLA ϕ-backends request HIGHEST (match the Pallas kernels);
+    bf16 stays on the native single-pass path; NGPDE_XLA_PRECISION=default
+    opts a run out (the r5 VMH protocol pin)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralgraphpde.kernels.fused_mlp_kernels import _xla_dot_precision
+
+    monkeypatch.delenv("NGPDE_XLA_PRECISION", raising=False)
+    assert _xla_dot_precision(jnp.float32) == jax.lax.Precision.HIGHEST
+    assert _xla_dot_precision(jnp.bfloat16) is None
+    monkeypatch.setenv("NGPDE_XLA_PRECISION", "default")
+    assert _xla_dot_precision(jnp.float32) is None
