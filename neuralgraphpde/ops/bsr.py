@@ -300,9 +300,19 @@ def build_packed_banded(
     jdtype = (jnp.bfloat16 if dtype in ("bfloat16", jnp.bfloat16)
               else jnp.dtype(dtype))
     total = int(np.prod(shape))
-    host = np.zeros((total,), np.float32)
-    np.add.at(host, flat, w)
-    blocks = jnp.asarray(host.reshape(shape)).astype(jdtype)
+    if jax.default_backend() == "cpu":
+        # host build (see build_banded: avoids eager-dispatch deadlocks on
+        # tiny CPU hosts)
+        host = np.zeros((total,), np.float32)
+        np.add.at(host, flat, w)
+        blocks = jnp.asarray(host.reshape(shape)).astype(jdtype)
+    else:
+        # ON-DEVICE scatter-add: the host->device transfer is O(E) edge
+        # indices+weights, not the GB-scale block tensor — the axon relay
+        # moves big tensors in minutes (same lesson as build_banded)
+        blocks = jnp.zeros((total,), jnp.float32).at[
+            jnp.asarray(flat, jnp.int32 if total < 2**31 else jnp.int64)
+        ].add(jnp.asarray(w)).reshape(shape).astype(jdtype)
     return PackedBanded(blocks=blocks, cols=jnp.asarray(cols, jnp.int32),
                         nb=nb, tb=tb, num_nodes=num_nodes, tb_rows=tbr)
 
