@@ -13,8 +13,16 @@ LOG=artifacts/vmh_parity_r5.jsonl
 CKPT=artifacts/vmh_parity_r5.ckpt.pkl
 for attempt in $(seq 1 60); do
   echo "=== attempt $attempt $(date -u +%H:%M:%S) ===" >> artifacts/vmh_parity_r5.log
+  # --max-steps 1000 since epoch 190: every attempt crashed the TPU worker
+  # deterministically during epoch 193 (state-linked; a pathologically
+  # stiff solve at those params spins one adaptive while_loop toward the
+  # 10k default — long enough that the relay kills the worker). The bound
+  # truncates such a solve: that epoch's gradient goes noisy-but-finite
+  # and sign-driven Rprop absorbs it. Tolerances (the protocol) unchanged;
+  # normal solves sit far below 1000 attempts/interval.
   timeout 7200 python examples/train_vmh.py \
     --epochs 200 --rtol 1e-7 --atol 1e-5 --ckpt-steps 256 --accum 4 \
+    --max-steps 1000 \
     --log-every 1 --heartbeat 900 \
     --log-path "$LOG" --ckpt-path "$CKPT" >> artifacts/vmh_parity_r5.log 2>&1
   rc=$?

@@ -58,6 +58,13 @@ class Config:
     # its per-leaf step sizes ARE the optimizer's memory)
     ckpt_path: str = ""
     ckpt_every: int = 5
+    # Adaptive-solve attempt bound PER INTERVAL. The default 10k allows a
+    # pathologically stiff solve (late-training params can sharpen one
+    # trajectory) to spin a single device execute ~25x past normal — long
+    # enough that the TPU-tunnel relay kills the worker (the r5 epoch-193
+    # crash loop). A tight bound truncates such a solve instead: that
+    # epoch's gradient goes noisy-but-finite and training continues.
+    max_steps: int = 10_000
     # wall-clock watchdog (train.StepHeartbeat): if no microbatch completes
     # within this many seconds, abort (exit 86) so a supervisor restarts
     # from --ckpt-path instead of hanging on a stalled relay execute
@@ -81,7 +88,8 @@ def main(cfg: Config):
                       depth=cfg.depth, tspan=(saveat[0], saveat[-1]),
                       saveat=saveat, rtol=cfg.rtol, atol=cfg.atol,
                       adjoint=cfg.adjoint,
-                      checkpoint_steps=cfg.checkpoint_steps)
+                      checkpoint_steps=cfg.checkpoint_steps,
+                      max_steps=cfg.max_steps)
     ps, st = setup(jax.random.PRNGKey(cfg.seed), model)
     # all sims share one graph: bind it once (re-bind per batch when graphs
     # differ — the update_graph pattern). precompute attaches the Pallas
@@ -222,6 +230,7 @@ if __name__ == "__main__":
     p.add_argument("--accum", type=int, default=4)
     p.add_argument("--ckpt-path", default="")
     p.add_argument("--heartbeat", type=float, default=0.0)
+    p.add_argument("--max-steps", type=int, default=10_000)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -230,4 +239,5 @@ if __name__ == "__main__":
                 adjoint=args.adjoint, log_path=args.log_path,
                 log_every=args.log_every, checkpoint_steps=args.ckpt_steps,
                 rtol=args.rtol, atol=args.atol, accum=args.accum,
-                ckpt_path=args.ckpt_path, heartbeat=args.heartbeat))
+                ckpt_path=args.ckpt_path, heartbeat=args.heartbeat,
+                max_steps=args.max_steps))

@@ -31,6 +31,7 @@ def vmh_model(
     initialgraph: Optional[GnnGraph] = None,
     adjoint: str = "checkpoint",
     checkpoint_steps: int = 128,
+    max_steps: int = 10_000,
 ) -> NeuralGraphODE:
     """Reference architecture (VMH.md:75-89): ϕ is a tanh MLP
     ``(2·state + pos) → hidden^depth → msg``; γ is
@@ -44,4 +45,5 @@ def vmh_model(
         conv, tspan=tspan, solver=solver,
         saveat=tuple(saveat) if saveat is not None else None,
         rtol=rtol, atol=atol, adjoint=adjoint,
-        checkpoint_steps=checkpoint_steps, output="all")
+        checkpoint_steps=checkpoint_steps, max_steps=max_steps,
+        output="all")

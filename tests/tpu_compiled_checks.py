@@ -355,14 +355,16 @@ def run_section(section: str) -> int:
         check("pbanded_fwd", y_pb, xla_ref(xp_), 1e-4, failures)
 
         _hi2 = jax.lax.Precision.HIGHEST
-        y_rhs = jax.jit(lambda v: _pbanded_rhs_fwd(
-            pbm, v, wp_, None, act="tanh"))(xp_)
+        # block tensors as ARGUMENTS — a closure embeds the ~370 MB blocks
+        # in the HLO and the relay rejects the request (HTTP 413)
+        y_rhs = jax.jit(lambda v, pb_, w_: _pbanded_rhs_fwd(
+            pb_, v, w_, None, act="tanh"))(xp_, pbm, wp_)
         y_rhs_ref = jnp.tanh(jnp.dot(xla_ref(xp_), wp_, precision=_hi2))
         check("pbanded_rhs", y_rhs, y_rhs_ref, 1e-3, failures)
 
-        gp_ = jax.jit(jax.grad(lambda v, ww: jnp.sum(
-            pbanded_gcn_rhs("tanh", v, ww, None, pbm, pbt) ** 2),
-            argnums=(0, 1)))(xp_, wp_)
+        gp_ = jax.jit(jax.grad(lambda v, ww, pb_, pbt_: jnp.sum(
+            pbanded_gcn_rhs("tanh", v, ww, None, pb_, pbt_) ** 2),
+            argnums=(0, 1)))(xp_, wp_, pbm, pbt)
         gr_ = jax.jit(jax.grad(lambda v, ww: jnp.sum(jnp.tanh(
             jnp.dot(xla_ref(v), ww, precision=_hi2)) ** 2),
             argnums=(0, 1)))(xp_, wp_)
