@@ -72,7 +72,8 @@ BUDGET_S = {"mesh": 600, "vmh": 600, "reord": 290, "rand": 180}
 JOBS = [("mesh", ("xla", "dia_fused_bf16", "dia_fused_f32", "tcsr_bf16")),
         # vmh: xla/fused = forward-only pair (fused Pallas kernel);
         # *_grad = training path (fused_grad rides the r4 DEFAULT
-        # saved-activation XLA backend; _pbwd pins the fully-fused Pallas
+        # saved-activation XLA backend (pinned; the r5 default is the
+        # Pallas pair); _pbwd pins the fully-fused Pallas
         # pair — the peak-memory lever); *_bf16 = bf16(model) policy
         ("vmh", ("xla", "fused", "xla_grad", "fused_grad",
                  "fused_grad_pbwd", "xla_grad_bf16", "fused_grad_bf16")),
@@ -409,6 +410,11 @@ def _vmh_worker(emit, paths) -> None:
                 # fully-fused pair: Pallas forward + Pallas backward
                 # (NGPDE_FUSED_BWD, read at trace time)
                 os.environ["NGPDE_FUSED_BWD"] = "pallas"
+            elif path.startswith("fused"):
+                # pin the saved-activation XLA backend so fused_grad vs
+                # fused_grad_pbwd stays a real A/B (the library DEFAULT
+                # flipped to pallas in r5)
+                os.environ["NGPDE_FUSED_BWD"] = "xla"
 
             @jax.jit
             def loop(x0, iters, st, grad_path=grad_path, lyr=lyr, lps=lps):

@@ -296,18 +296,22 @@ def _bwd_mode() -> str:
     backends — the per-edge matmuls are too narrow for the recompute's
     extra FLOPs to hide, and activation traffic fits comfortably. So:
 
-    - ``xla``     (default) — differentiated calls run an XLA forward that
-      saves per-layer activations; the backward is plain saved-activation
-      backprop (the cost profile of the un-fused layer path).
-    - ``pallas``  — the fully-fused pair: Pallas forward + Pallas backward
-      that recomputes activations in VMEM. PEAK-MEMORY lever: no edge-wide
-      activation ever exists in HBM; opt in when the saved activations
-      (~2·E·Σwidths·4B) don't fit.
+    - ``pallas``  (default since r5) — the fully-fused pair: Pallas
+      forward + Pallas backward that recomputes activations in VMEM.
+      Fastest measured differentiated fused path at f32 once the XLA
+      backends request HIGHEST precision (BENCH_r05: fused_grad_pbwd
+      12.9M vs saved-activation 11.0M edges/s), AND no edge-wide
+      activation ever exists in HBM (the saved-activation path keeps
+      ~2·E·Σwidths·4B of residuals live across the fwd/bwd boundary —
+      structural, by construction; the axon relay exposes no
+      memory_stats and virtualizes allocations, so peak-HBM is
+      UNMEASURABLE through it — both r5 attempts recorded in ROADMAP).
+    - ``xla``     — saved-activation XLA forward + plain backprop.
     - ``recompute`` — XLA recompute backward (A/B baseline).
 
     Non-differentiated (inference / ODE forward) calls always take the
     fused Pallas kernel, which wins forward-only."""
-    return os.environ.get("NGPDE_FUSED_BWD", "xla").lower()
+    return os.environ.get("NGPDE_FUSED_BWD", "pallas").lower()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -256,7 +256,7 @@ def run_section(section: str) -> int:
         import os as _os
 
         # this section hardware-verifies the FUSED Pallas backward (the
-        # r4 default training backend is the saved-activation XLA path)
+        # r5 DEFAULT for differentiated fused calls)
         _os.environ["NGPDE_FUSED_BWD"] = "pallas"
         try:
             gp = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(feats, ws, bs)
