@@ -284,6 +284,14 @@ def _act_grad_from_y(act, y):
     raise ValueError(act)
 
 
+def _hi_for(arr):
+    """HIGHEST for f32 operands (default truncates to bf16 on the MXU) —
+    same rule as the kernels; the r5 pbanded on-chip check caught the VJP
+    epilogue dots running at default precision."""
+    return (jax.lax.Precision.HIGHEST
+            if arr.dtype == jnp.float32 else None)
+
+
 def _make_rhs_kernel(n_bands: int, act, has_w: bool, has_b: bool):
     act_fn = _EPILOGUE_ACTS["identity" if act is None else act]
 
@@ -406,9 +414,9 @@ def _rhs_vjp_bwd(act, res, g):
     if w is not None:
         # recompute the aggregation for dW (one extra streaming pass)
         agg = _banded_spmm_fwd(bm, x)  # (N, F) f32
-        dw = jnp.dot(agg.T, dz,
+        dw = jnp.dot(agg.T, dz, precision=_hi_for(agg),
                      preferred_element_type=jnp.float32).astype(w.dtype)
-        gup = jnp.dot(dz, w.T.astype(dz.dtype),
+        gup = jnp.dot(dz, w.T.astype(dz.dtype), precision=_hi_for(dz),
                       preferred_element_type=jnp.float32)
     else:
         dw = None
@@ -501,9 +509,9 @@ def _prhs_vjp_bwd(act, res, g):
         b.dtype)
     if w is not None:
         agg = _pbanded_spmm_fwd(pb, x)
-        dw = jnp.dot(agg.T, dz,
+        dw = jnp.dot(agg.T, dz, precision=_hi_for(agg),
                      preferred_element_type=jnp.float32).astype(w.dtype)
-        gup = jnp.dot(dz, w.T.astype(dz.dtype),
+        gup = jnp.dot(dz, w.T.astype(dz.dtype), precision=_hi_for(dz),
                       preferred_element_type=jnp.float32)
     else:
         dw = None

@@ -373,9 +373,13 @@ def _rhs_bwd(act, res, g):
         b.dtype)
     if w is not None:
         agg = _dia_rhs_fwd(dm, x, None, None, act=False)
-        dw = jnp.dot(agg.T, dz,
+        hi = (jax.lax.Precision.HIGHEST
+              if agg.dtype == jnp.float32 else None)
+        dw = jnp.dot(agg.T, dz, precision=hi,
                      preferred_element_type=jnp.float32).astype(w.dtype)
         gup = jnp.dot(dz, w.T.astype(dz.dtype),
+                      precision=(jax.lax.Precision.HIGHEST
+                                 if dz.dtype == jnp.float32 else None),
                       preferred_element_type=jnp.float32)
     else:
         dw = None
